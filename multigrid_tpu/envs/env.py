@@ -1,0 +1,175 @@
+"""Functional environment base class.
+
+The TPU-native counterpart of ``MultiGridEnv`` (multigrid/base.py:36): instead
+of a stateful ``gym.Env``, an environment object holds only *static*
+configuration and exposes pure functions
+
+    reset(key)                  -> (obs, state)
+    step(state, actions)        -> (obs, state, rewards, terms, truncs)
+    step_with_order(state, actions, order) -> same, deterministic core
+
+that jit, vmap and shard. Episode state lives entirely in the
+:class:`MultiGridState` pytree.
+
+Subclasses implement ``_gen_grid(key) -> MultiGridState`` (on-device layout
+generation, the pure-function analogue of base.py:229-248) and may override
+``post_step`` (the analogue of env-specific ``step()`` post-processing, e.g.
+envs/blockedunlockpickup.py:166-175).
+"""
+
+from __future__ import annotations
+
+import abc
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import EnvConfig
+from ..core.state import MultiGridState
+from ..ops.obs import gen_obs
+from ..ops.step import sample_order, step_with_order
+
+
+class MultiGridEnv(abc.ABC):
+    """Base class for functional multi-agent gridworld environments."""
+
+    #: Mission string template; environments with placeholder arguments
+    #: override :meth:`mission_of` instead.
+    mission: str = "maximize reward"
+
+    def __init__(
+        self,
+        *,
+        agents: int = 1,
+        grid_size: int | None = None,
+        width: int | None = None,
+        height: int | None = None,
+        max_steps: int = 100,
+        see_through_walls: bool = False,
+        agent_view_size: int = 7,
+        allow_agent_overlap: bool = True,
+        joint_reward: bool = False,
+        success_termination_mode: str = 'any',
+        failure_termination_mode: str = 'all',
+        render_mode: str | None = None,
+        **_unused_render_kwargs,
+    ):
+        width, height = (grid_size, grid_size) if grid_size else (width, height)
+        assert width is not None and height is not None
+        self.cfg = EnvConfig(
+            width=width,
+            height=height,
+            num_agents=agents,
+            max_steps=max_steps,
+            see_through_walls=see_through_walls,
+            view_size=agent_view_size,
+            allow_agent_overlap=allow_agent_overlap,
+            joint_reward=joint_reward,
+            success_any=(success_termination_mode == 'any'),
+            failure_any=(failure_termination_mode == 'any'),
+        )
+        self.render_mode = render_mode
+
+    # ------------------------------------------------------------------ API
+
+    @property
+    def num_agents(self) -> int:
+        return self.cfg.num_agents
+
+    @property
+    def width(self) -> int:
+        return self.cfg.width
+
+    @property
+    def height(self) -> int:
+        return self.cfg.height
+
+    @abc.abstractmethod
+    def _gen_grid(self, key: jax.Array) -> MultiGridState:
+        """Generate a fresh episode layout on device (pure function of key)."""
+
+    def mission_of(self, state: MultiGridState) -> str | None:
+        """Host-side mission string for a (single-env) state."""
+        return self.mission
+
+    def post_step(
+        self,
+        prev_state: MultiGridState,
+        state: MultiGridState,
+        actions: jax.Array,
+        rewards: jax.Array,
+        terminations: jax.Array,
+    ) -> tuple[MultiGridState, jax.Array, jax.Array]:
+        """Env-specific post-step hook (may adjust state/rewards/terms).
+
+        Runs *after* observation generation, matching the reference ordering
+        where subclass ``step()`` bodies post-process the base class result
+        (e.g. envs/redbluedoors.py:170-187 closes a door after obs were
+        already generated).
+        """
+        return state, rewards, terminations
+
+    # -------------------------------------------------------------- core fns
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def reset(self, key: jax.Array):
+        """Start a new episode. Returns ``(obs, state)`` (base.py:250-301)."""
+        gen_key, rng = jax.random.split(key)
+        state = self._gen_grid(gen_key)
+        state = state.replace(
+            rng=rng, step_count=jnp.zeros((), dtype=jnp.int32)
+        )
+        obs = gen_obs(self.cfg, state)
+        return obs, state
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def step(self, state: MultiGridState, actions: jax.Array):
+        """Advance one timestep with a random agent action order.
+
+        Returns ``(obs, state, rewards, terminations, truncations)``.
+        """
+        order_key, rng = jax.random.split(state.rng)
+        order = sample_order(order_key, self.cfg.num_agents)
+        state = state.replace(rng=rng)
+        return self._step_inner(state, actions, order, None)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def step_with_order(
+        self,
+        state: MultiGridState,
+        actions: jax.Array,
+        order: jax.Array,
+        action_mask: jax.Array | None = None,
+    ):
+        """Deterministic step core used by the parity harness: the caller
+        supplies the agent action order (reference base.py:396-399 draws it
+        from the seeded ``np_random`` stream)."""
+        return self._step_inner(state, actions, order, action_mask)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def observe(self, state: MultiGridState):
+        """Generate observations for an existing state (base.py:348-376)."""
+        return gen_obs(self.cfg, state)
+
+    def _step_inner(self, state, actions, order, action_mask):
+        prev_state = state
+        state, rewards, terms, truncs = step_with_order(
+            self.cfg, state, actions, order, action_mask
+        )
+        # Observations reflect the post-action, pre-hook state (base.py:337
+        # generates obs before subclass step() bodies run).
+        obs = gen_obs(self.cfg, state)
+        state, rewards, terms = self.post_step(
+            prev_state, state, actions, rewards, terms
+        )
+        return obs, state, rewards, terms, truncs
+
+    # ---------------------------------------------------------------- helpers
+
+    def is_done(self, terminations: jax.Array, truncations: jax.Array) -> jax.Array:
+        """Whether the episode is finished for all agents (base.py:534-539)."""
+        return jnp.all(terminations) | jnp.any(truncations)
+
+    def __repr__(self):
+        return f'{self.__class__.__name__}({self.cfg})'

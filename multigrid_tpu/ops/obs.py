@@ -1,0 +1,237 @@
+"""Partial-observation generation — the hot kernel.
+
+TPU-native replacement for the reference's numba observation kernels
+(multigrid/utils/obs.py). The object-graph-free pipeline:
+
+1. overlay live agents' encodings into the grid      (obs.py:162-173)
+2. per-agent view-extent computation                  (obs.py:275-316)
+3. crop via dynamic-slice on a wall-padded grid,
+   out-of-bounds cells read as walls                  (obs.py:199-202)
+4. rotate so the agent faces up                       (obs.py:180-196)
+5. carried-object overlay at the agent's view cell    (obs.py:204-207)
+6. two-pass flood-fill visibility mask                (obs.py:235-273)
+7. unseen-masking                                     (obs.py:93-102)
+
+Everything is expressed as predicated vector ops over static shapes: the
+flood fill's sequential in-place row sweeps become fixpoint shift-OR chains
+(``view_size`` is small and static, so full unrolling is cheap and lets XLA
+fuse the whole mask into a handful of VPU ops). ``vmap`` over agents and
+environments gives the batched kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import EnvConfig
+from ..core.constants import (
+    DIR_DOWN,
+    DIR_LEFT,
+    DIR_RIGHT,
+    STATE_OPEN,
+    TYPE_DOOR,
+    TYPE_WALL,
+    UNSEEN_ENCODING,
+    WALL_ENCODING,
+)
+from ..core.state import MultiGridState
+
+
+def get_view_exts(
+    agent_dir: jax.Array, agent_pos: jax.Array, view_size: int
+) -> tuple[jax.Array, jax.Array]:
+    """Top-left (x, y) of each agent's view rectangle (obs.py:275-316).
+
+    Works elementwise for any batch shape of ``agent_dir``/``agent_pos[..., 2]``.
+    """
+    x = agent_pos[..., 0]
+    y = agent_pos[..., 1]
+    half = view_size // 2
+    top_x = jnp.where(
+        agent_dir == DIR_RIGHT,
+        x,
+        jnp.where(
+            agent_dir == DIR_DOWN,
+            x - half,
+            jnp.where(agent_dir == DIR_LEFT, x - view_size + 1, x - half),
+        ),
+    )
+    top_y = jnp.where(
+        agent_dir == DIR_RIGHT,
+        y - half,
+        jnp.where(
+            agent_dir == DIR_DOWN,
+            y,
+            jnp.where(agent_dir == DIR_LEFT, y - half, y - view_size + 1),
+        ),
+    )
+    return top_x, top_y
+
+
+def see_behind_mask(obs_grid: jax.Array) -> jax.Array:
+    """Whether each view cell can be seen through (obs.py:46-63,211-233).
+
+    Opaque cells: walls and non-open doors.
+    """
+    t = obs_grid[..., 0]
+    s = obs_grid[..., 2]
+    return ~((t == TYPE_WALL) | ((t == TYPE_DOOR) & (s != STATE_OPEN)))
+
+
+def _shift_up(v: jax.Array) -> jax.Array:
+    """Shift along the i-axis (second-to-last): value at i moves to i+1."""
+    return jnp.concatenate([jnp.zeros_like(v[..., :1]), v[..., :-1]], axis=-1)
+
+
+def _shift_down(v: jax.Array) -> jax.Array:
+    """Shift along the i-axis: value at i moves to i-1."""
+    return jnp.concatenate([v[..., 1:], jnp.zeros_like(v[..., :1])], axis=-1)
+
+
+def _propagate(v: jax.Array, s: jax.Array, shift, steps: int) -> jax.Array:
+    """Fixpoint of the in-place sweep ``if v[i] & s[i]: v[i ± 1] = True``.
+
+    Each iteration extends the lit region by at least one cell, so ``steps``
+    iterations reach the fixpoint for a row of length ``steps + 1``.
+    """
+    for _ in range(steps):
+        v = v | shift(v & s)
+    return v
+
+
+def get_vis_mask(obs_grid: jax.Array) -> jax.Array:
+    """Minigrid-style two-pass flood-fill visibility (obs.py:235-273).
+
+    Parameters
+    ----------
+    obs_grid : (..., vs, vs, 3) int
+        Observation grids (agent at ``(vs//2, vs-1)`` facing up).
+
+    Returns
+    -------
+    vis : (..., vs, vs) bool
+
+    The reference sweeps rows bottom→top; within each row a forward in-place
+    pass (i ascending) and a backward in-place pass (i descending) propagate
+    visibility sideways and into the next row up (straight and diagonal).
+    The in-place semantics make each pass a directional fixpoint, computed
+    here as ``vs - 1`` shift-OR steps.
+    """
+    vs = obs_grid.shape[-2]
+    see = see_behind_mask(obs_grid)  # (..., vs_i, vs_j)
+    vis = jnp.zeros(see.shape, dtype=jnp.bool_)
+    vis = vis.at[..., vs // 2, vs - 1].set(True)  # agent's own cell
+
+    # Iterate columns j from bottom (vs-1) to top (0); operate on i-rows.
+    for j in range(vs - 1, -1, -1):
+        row = vis[..., :, j]
+        s = see[..., :, j]
+        f = _propagate(row, s, _shift_up, vs - 1)       # forward pass fixpoint
+        b = _propagate(f, s, _shift_down, vs - 1)       # backward pass fixpoint
+        vis = vis.at[..., :, j].set(b)
+        if j > 0:
+            # Forward pass: checks i in [0, vs-2]; lights (i, j-1), (i+1, j-1).
+            cf = (f & s).at[..., vs - 1].set(False)
+            # Backward pass: checks i in [1, vs-1]; lights (i-1, j-1), (i, j-1).
+            cb = (b & s).at[..., 0].set(False)
+            contrib = cf | _shift_up(cf) | cb | _shift_down(cb)
+            vis = vis.at[..., :, j - 1].set(vis[..., :, j - 1] | contrib)
+
+    return vis
+
+
+def _overlay_agents(state: MultiGridState) -> jax.Array:
+    """Write live agents' encodings into a copy of the grid (obs.py:162-173).
+
+    The reference overlays agents in index order 0..N-1 (later indices win on
+    overlapping positions), skipping terminated agents; the loop is unrolled
+    here to preserve that overwrite order exactly.
+    """
+    grid = state.grid
+    enc = state.agent_encoding
+    n = state.num_agents
+    for a in range(n):
+        x = state.agent_pos[a, 0]
+        y = state.agent_pos[a, 1]
+        cur = grid[x, y]
+        grid = grid.at[x, y].set(
+            jnp.where(state.agent_terminated[a], cur, enc[a])
+        )
+    return grid
+
+
+def gen_obs_grid(
+    state: MultiGridState, view_size: int
+) -> jax.Array:
+    """Per-agent observation sub-grids WITHOUT the visibility mask.
+
+    Equivalent of ``gen_obs_grid`` (obs.py:130-209): overlay, crop with
+    out-of-bounds→wall, rotate to face up, carried-object overlay.
+
+    Returns ``(N, vs, vs, 3)`` int32.
+    """
+    vs = view_size
+    w, h, _ = state.grid.shape
+
+    # 1. Agent overlay (single-agent envs skip it, obs.py:172-173 — the
+    #    result is identical since the agent's own cell is overwritten below).
+    grid = _overlay_agents(state) if state.num_agents > 1 else state.grid
+
+    # 2. Wall-pad the grid so every crop is a plain dynamic slice.
+    wall = jnp.asarray(WALL_ENCODING, dtype=grid.dtype)
+    big = jnp.broadcast_to(wall, (w + 2 * vs, h + 2 * vs, 3))
+    big = jax.lax.dynamic_update_slice(big, grid, (vs, vs, 0))
+
+    top_x, top_y = get_view_exts(state.agent_dir, state.agent_pos, vs)
+
+    def crop_one(tx, ty, dirn, carrying):
+        window = jax.lax.dynamic_slice(big, (tx + vs, ty + vs, 0), (vs, vs, 3))
+        # Rotate (dir + 1) % 4 left-rotations so the agent faces up
+        # (obs.py:180-196); k left-rotations == jnp.rot90(window, k=-k).
+        rots = jnp.stack(
+            [
+                window,
+                jnp.rot90(window, k=-1, axes=(0, 1)),
+                jnp.rot90(window, k=-2, axes=(0, 1)),
+                jnp.rot90(window, k=-3, axes=(0, 1)),
+            ]
+        )
+        out = rots[(dirn + 1) % 4]
+        # Carried-object overlay at the agent's own view cell (obs.py:204-207)
+        # — written unconditionally, empty encoding when hands are free.
+        return out.at[vs // 2, vs - 1].set(carrying)
+
+    return jax.vmap(crop_one)(
+        top_x, top_y, state.agent_dir, state.agent_carrying
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def gen_obs_grid_encoding(
+    state: MultiGridState, view_size: int, see_through_walls: bool
+) -> jax.Array:
+    """Full observation images including visibility masking (obs.py:65-102).
+
+    Returns ``(N, vs, vs, 3)`` int32 where invisible cells are overwritten
+    with the unseen encoding unless ``see_through_walls``.
+    """
+    obs = gen_obs_grid(state, view_size)
+    if see_through_walls:
+        return obs
+    vis = get_vis_mask(obs)
+    unseen = jnp.asarray(UNSEEN_ENCODING, dtype=obs.dtype)
+    return jnp.where(vis[..., None], obs, unseen)
+
+
+def gen_obs(cfg: EnvConfig, state: MultiGridState) -> dict[str, jax.Array]:
+    """Generate the observation pytree for all agents (base.py:348-376).
+
+    Returns ``{'image': (N, vs, vs, 3) int32, 'direction': (N,) int32}``.
+    Mission strings live at the adapter layer; batched cores carry mission
+    indices in ``state.extras`` when an environment parameterizes them.
+    """
+    image = gen_obs_grid_encoding(state, cfg.view_size, cfg.see_through_walls)
+    return {'image': image, 'direction': state.agent_dir}

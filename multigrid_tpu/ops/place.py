@@ -1,0 +1,75 @@
+"""On-device procedural placement primitives.
+
+The reference places objects/agents with unbounded host-side rejection
+sampling (multigrid/base.py:604-670). Rejection sampling over a rectangle,
+accepting the first valid cell, is distributionally identical to sampling
+uniformly over the valid cells — so the TPU-native speed-mode reset uses the
+Gumbel-argmax trick: one fixed-cost draw per placement, no loops.
+
+(Bit-exact parity with the reference's numpy draw sequences is provided by
+the separate host-side parity generators in ``multigrid_tpu.envs.parity``.)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.constants import TYPE_EMPTY
+
+
+def agent_occupancy(agent_pos: jax.Array, width: int, height: int) -> jax.Array:
+    """(W, H) bool mask of cells occupied by any agent.
+
+    Unplaced agents at (-1, -1) are dropped (out-of-bounds writes are
+    discarded rather than wrapping).
+    """
+    placed = jnp.all(agent_pos >= 0, axis=-1)
+    px = jnp.where(placed, agent_pos[..., 0], width)
+    py = jnp.where(placed, agent_pos[..., 1], height)
+    occ = jnp.zeros((width, height), dtype=jnp.bool_)
+    return occ.at[px, py].max(True, mode='drop')
+
+
+def rect_mask(
+    width: int, height: int, top: tuple | jax.Array, size: tuple | jax.Array
+) -> jax.Array:
+    """(W, H) bool mask of cells inside the rectangle [top, top + size)."""
+    xs = jnp.arange(width)[:, None]
+    ys = jnp.arange(height)[None, :]
+    tx, ty = top[0], top[1]
+    return (xs >= tx) & (xs < tx + size[0]) & (ys >= ty) & (ys < ty + size[1])
+
+
+def uniform_position(key: jax.Array, valid: jax.Array) -> jax.Array:
+    """Sample a cell uniformly from the True entries of a (W, H) mask.
+
+    Gumbel-argmax over equal logits — the fixed-cost equivalent of the
+    reference's accept-first-valid rejection loop (base.py:637-662). If no
+    cell is valid, returns the argmax position of the mask (cell 0) — callers
+    must guarantee satisfiability, as the reference does implicitly by
+    looping forever.
+    """
+    w, h = valid.shape
+    g = jax.random.gumbel(key, (w, h))
+    g = jnp.where(valid, g, -jnp.inf)
+    flat_idx = jnp.argmax(g.reshape(-1))
+    return jnp.stack([flat_idx // h, flat_idx % h]).astype(jnp.int32)
+
+
+def place_obj_mask(
+    grid: jax.Array,
+    agent_pos: jax.Array,
+    top: tuple | jax.Array | None = None,
+    size: tuple | jax.Array | None = None,
+) -> jax.Array:
+    """Validity mask for ``place_obj`` (base.py:604-662): cell empty, no
+    agent present, inside the clamped target rectangle."""
+    w, h, _ = grid.shape
+    valid = (grid[..., 0] == TYPE_EMPTY) & ~agent_occupancy(agent_pos, w, h)
+    if top is not None or size is not None:
+        top = (0, 0) if top is None else (
+            jnp.maximum(top[0], 0), jnp.maximum(top[1], 0))
+        size = (w, h) if size is None else size
+        valid = valid & rect_mask(w, h, top, size)
+    return valid
