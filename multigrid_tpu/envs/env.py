@@ -100,6 +100,7 @@ class MultiGridEnv(abc.ABC):
         actions: jax.Array,
         rewards: jax.Array,
         terminations: jax.Array,
+        action_mask: jax.Array,
     ) -> tuple[MultiGridState, jax.Array, jax.Array]:
         """Env-specific post-step hook (may adjust state/rewards/terms).
 
@@ -154,6 +155,8 @@ class MultiGridEnv(abc.ABC):
 
     def _step_inner(self, state, actions, order, action_mask):
         prev_state = state
+        if action_mask is None:
+            action_mask = jnp.ones((self.cfg.num_agents,), dtype=jnp.bool_)
         state, rewards, terms, truncs = step_with_order(
             self.cfg, state, actions, order, action_mask
         )
@@ -161,7 +164,7 @@ class MultiGridEnv(abc.ABC):
         # generates obs before subclass step() bodies run).
         obs = gen_obs(self.cfg, state)
         state, rewards, terms = self.post_step(
-            prev_state, state, actions, rewards, terms
+            prev_state, state, actions, rewards, terms, action_mask
         )
         return obs, state, rewards, terms, truncs
 
