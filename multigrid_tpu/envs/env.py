@@ -93,6 +93,15 @@ class MultiGridEnv(abc.ABC):
         """Host-side mission string for a (single-env) state."""
         return self.mission
 
+    @property
+    def mission_space(self):
+        """Space of mission strings (reference core/mission.py:45-136).
+
+        Environments with placeholder-parameterized missions override this.
+        """
+        from ..core.mission import MissionSpace
+        return MissionSpace.from_string(self.mission)
+
     def post_step(
         self,
         prev_state: MultiGridState,
@@ -125,15 +134,23 @@ class MultiGridEnv(abc.ABC):
         return obs, state
 
     @functools.partial(jax.jit, static_argnums=0)
-    def step(self, state: MultiGridState, actions: jax.Array):
+    def step(
+        self,
+        state: MultiGridState,
+        actions: jax.Array,
+        action_mask: jax.Array | None = None,
+    ):
         """Advance one timestep with a random agent action order.
 
-        Returns ``(obs, state, rewards, terminations, truncations)``.
+        ``action_mask`` marks agents that supplied an action this step
+        (agents missing from the action dict are skipped in the reference,
+        base.py:403-404). Returns
+        ``(obs, state, rewards, terminations, truncations)``.
         """
         order_key, rng = jax.random.split(state.rng)
         order = sample_order(order_key, self.cfg.num_agents)
         state = state.replace(rng=rng)
-        return self._step_inner(state, actions, order, None)
+        return self._step_inner(state, actions, order, action_mask)
 
     @functools.partial(jax.jit, static_argnums=0)
     def step_with_order(

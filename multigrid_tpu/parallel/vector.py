@@ -1,0 +1,155 @@
+"""Lockstep batched environments with on-device auto-reset.
+
+``VectorEnv`` lifts a functional :class:`~multigrid_tpu.envs.env.MultiGridEnv`
+to a batch of ``num_envs`` independent instances running in lockstep under one
+``jit``. Episode boundaries are handled *inside* the kernel: whenever an env
+is done (all agents terminated, or truncated — multigrid/base.py:534-539),
+a fresh layout is generated from that env's PRNG stream and swapped in with a
+predicated select, so stepping never leaves the device and never recompiles.
+
+The reference has no vectorized execution at all — it delegates rollout
+parallelism to Ray env-runner worker processes
+(multigrid/scripts/train.py:147-151). Here the env batch is a device-mesh
+axis: pass a ``Mesh`` (or let :meth:`shard` build one) and batched state is
+laid out with the leading axis split over the ``'env'`` axis; XLA then runs
+the same program on every chip with zero cross-chip communication in the env
+step itself.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from ..core.state import MultiGridState
+from ..envs.env import MultiGridEnv
+from .mesh import env_sharding, make_mesh
+
+
+class VectorEnv:
+    """``num_envs`` lockstep copies of an environment, as pure functions.
+
+    Usage::
+
+        venv = VectorEnv(make('MultiGrid-Empty-8x8-v0', agents=2), 4096)
+        obs, state = venv.reset(jax.random.key(0))
+        obs, state, rew, term, trunc, done = venv.step(state, actions)
+
+    All returned arrays have a leading ``(num_envs, ...)`` axis. ``done`` is
+    ``(num_envs,)`` — True where the *previous* episode ended this step and
+    the returned obs/state belong to a freshly reset episode (the standard
+    lockstep auto-reset contract; final-step rewards/terminations are the
+    ending episode's).
+    """
+
+    def __init__(
+        self,
+        env: MultiGridEnv,
+        num_envs: int,
+        *,
+        auto_reset: bool = True,
+        mesh: Mesh | None = None,
+    ):
+        self.env = env
+        self.num_envs = num_envs
+        self.auto_reset = auto_reset
+        self.mesh = mesh
+        self._sharding = env_sharding(mesh) if mesh is not None else None
+
+    @classmethod
+    def sharded(cls, env: MultiGridEnv, num_envs: int, **kwargs) -> 'VectorEnv':
+        """VectorEnv over all local devices (env axis = full device mesh)."""
+        return cls(env, num_envs, mesh=make_mesh(), **kwargs)
+
+    # ------------------------------------------------------------- pure fns
+
+    @property
+    def num_agents(self) -> int:
+        return self.env.num_agents
+
+    def _constrain(self, tree):
+        if self._sharding is None:
+            return tree
+        return jax.lax.with_sharding_constraint(tree, self._sharding)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def reset(self, key: jax.Array):
+        """Reset all envs. Returns ``(obs, state)`` with leading (E, ...)."""
+        keys = jax.random.split(key, self.num_envs)
+        if self._sharding is not None:
+            keys = jax.lax.with_sharding_constraint(keys, self._sharding)
+        obs, state = jax.vmap(self.env.reset)(keys)
+        return self._constrain((obs, state))
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def step(self, state: MultiGridState, actions: jax.Array):
+        """Step all envs; auto-reset finished episodes in-kernel.
+
+        Parameters
+        ----------
+        state : batched MultiGridState (leading E axis; donated)
+        actions : (E, N) int32
+
+        Returns
+        -------
+        (obs, state, rewards, terminations, truncations, done)
+        """
+        obs, new_state, rew, term, trunc = jax.vmap(self.env.step)(
+            state, actions
+        )
+        done = jnp.all(term, axis=-1) | jnp.any(trunc, axis=-1)
+        if self.auto_reset:
+            # One fixed-cost reset computed for every env each step; envs that
+            # aren't done keep their stepped state via the predicated select.
+            # XLA dead-code-eliminates nothing here, but layout generation is
+            # a few predicated draws — negligible next to the obs kernel.
+            reset_key = jax.vmap(
+                lambda s: jax.random.fold_in(s.rng, 0)
+            )(new_state)
+            reset_obs, reset_state = jax.vmap(self.env.reset)(reset_key)
+
+            def sel(r, s):
+                d = done.reshape(done.shape + (1,) * (r.ndim - 1))
+                return jnp.where(d, r, s)
+
+            new_state = jax.tree.map(sel, reset_state, new_state)
+            obs = jax.tree.map(sel, reset_obs, obs)
+        return self._constrain((obs, new_state, rew, term, trunc, done))
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def observe(self, state: MultiGridState):
+        return self._constrain(jax.vmap(self.env.observe)(state))
+
+    # ------------------------------------------------------------ rollouts
+
+    @functools.partial(jax.jit, static_argnums=(0, 3), donate_argnums=1)
+    def rollout_random(self, state: MultiGridState, key: jax.Array, steps: int):
+        """Advance ``steps`` lockstep steps with uniform-random actions.
+
+        The throughput benchmark core: one fused scan, nothing leaves the
+        device until the final state. Returns ``(state, summary)`` where
+        summary holds reward/done tallies (so the scan has data dependencies
+        XLA cannot elide).
+        """
+        def body(carry, _):
+            st, k, rew_sum, done_sum = carry
+            k, ak = jax.random.split(k)
+            actions = jax.random.randint(
+                ak, (self.num_envs, self.num_agents), 0, 7, dtype=jnp.int32
+            )
+            _, st, rew, _, _, done = self.step(st, actions)
+            return (st, k, rew_sum + rew.sum(), done_sum + done.sum()), None
+
+        init = (
+            state,
+            key,
+            jnp.zeros((), jnp.float32),
+            jnp.zeros((), jnp.int32),
+        )
+        (state, _, rew_sum, done_sum), _ = jax.lax.scan(
+            body, init, None, length=steps
+        )
+        return state, {'reward_sum': rew_sum, 'episodes': done_sum}

@@ -1,0 +1,158 @@
+"""Observation wrappers over the functional env API.
+
+Functional counterparts of the reference's gym wrappers
+(multigrid/wrappers.py): each wrapper delegates ``reset``/``step`` to the
+wrapped environment and maps the observation pytree through a pure, jittable
+transformation — so wrapped envs still ``vmap`` into
+:class:`~multigrid_tpu.parallel.VectorEnv` batches and shard over meshes
+unchanged.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .core.config import EnvConfig
+from .core.constants import Color, State, Type
+from .core.state import MultiGridState
+from .envs.env import MultiGridEnv
+from .ops.obs import gen_obs  # noqa: F401  (re-export convenience)
+
+#: One-hot channel widths: type, color, max(state, direction)
+#: (multigrid/wrappers.py:139-147) → 11 + 6 + 4 = 21 channels.
+ONE_HOT_DIMS = (len(Type), len(Color), max(len(State), 4))
+
+
+class ObservationWrapper:
+    """Base wrapper: delegates everything, transforms observations.
+
+    Equivalent role to ``gym.ObservationWrapper`` in the reference wrappers
+    (multigrid/wrappers.py:17,61,101); here the transformation must be a pure
+    function of ``(obs, state)`` so it stays inside the jitted step.
+    """
+
+    def __init__(self, env: MultiGridEnv):
+        self.env = env
+
+    # -- delegation ---------------------------------------------------------
+
+    @property
+    def cfg(self) -> EnvConfig:
+        return self.env.cfg
+
+    @property
+    def num_agents(self) -> int:
+        return self.env.num_agents
+
+    @property
+    def width(self) -> int:
+        return self.env.width
+
+    @property
+    def height(self) -> int:
+        return self.env.height
+
+    def __getattr__(self, name):
+        return getattr(self.env, name)
+
+    # -- functional API ------------------------------------------------------
+
+    def observation(self, obs, state: MultiGridState):
+        raise NotImplementedError
+
+    def reset(self, key: jax.Array):
+        obs, state = self.env.reset(key)
+        return self.observation(obs, state), state
+
+    def step(self, state: MultiGridState, actions: jax.Array):
+        obs, state, rew, term, trunc = self.env.step(state, actions)
+        return self.observation(obs, state), state, rew, term, trunc
+
+    def step_with_order(self, state, actions, order, action_mask=None):
+        obs, state, rew, term, trunc = self.env.step_with_order(
+            state, actions, order, action_mask
+        )
+        return self.observation(obs, state), state, rew, term, trunc
+
+    def observe(self, state: MultiGridState):
+        return self.observation(self.env.observe(state), state)
+
+
+def fully_obs_image(state: MultiGridState) -> jax.Array:
+    """Full-grid encoding with live agents overlaid (wrappers.py:41-55).
+
+    Agents are written in index order (later index wins on overlap),
+    skipping terminated agents, matching the reference's loop.
+    """
+    grid = state.grid
+    enc = state.agent_encoding
+    for a in range(state.num_agents):
+        x, y = state.agent_pos[a, 0], state.agent_pos[a, 1]
+        cur = grid[x, y]
+        grid = grid.at[x, y].set(
+            jnp.where(state.agent_terminated[a], cur, enc[a])
+        )
+    return grid
+
+
+class FullyObsWrapper(ObservationWrapper):
+    """Fully observable global image for every agent (wrappers.py:17-58).
+
+    Each agent's ``image`` becomes the full ``(W, H, 3)`` grid encoding with
+    all live agents overlaid (identical across agents, as in the reference).
+    """
+
+    def observation(self, obs, state):
+        img = fully_obs_image(state)
+        n = self.num_agents
+        image = jnp.broadcast_to(img, (n,) + img.shape)
+        return {**obs, 'image': image}
+
+
+class ImgObsWrapper(ObservationWrapper):
+    """Image-only observations as uint8 (wrappers.py:61-98)."""
+
+    def observation(self, obs, state):
+        return obs['image'].astype(jnp.uint8)
+
+
+def one_hot(image: jax.Array, dtype=jnp.uint8) -> jax.Array:
+    """(..., 3) int encodings → (..., 21) one-hot planes (wrappers.py:158-190)."""
+    planes = [
+        jax.nn.one_hot(image[..., i], n, dtype=dtype)
+        for i, n in enumerate(ONE_HOT_DIMS)
+    ]
+    return jnp.concatenate(planes, axis=-1)
+
+
+class OneHotObsWrapper(ObservationWrapper):
+    """One-hot encode the image channels (wrappers.py:101-190).
+
+    ``(vs, vs, 3)`` int → ``(vs, vs, 21)`` uint8, dims
+    ``[len(Type)=11, len(Color)=6, max(len(State), len(Direction))=4]``.
+    """
+
+    def observation(self, obs, state):
+        return {**obs, 'image': one_hot(obs['image'])}
+
+
+class SingleAgentWrapper(ObservationWrapper):
+    """Strip the agent axis from a single-agent environment
+    (wrappers.py:193-233): obs/reward/termination become scalars."""
+
+    def __init__(self, env: MultiGridEnv):
+        assert env.num_agents == 1, 'SingleAgentWrapper requires 1 agent'
+        super().__init__(env)
+
+    def observation(self, obs, state):
+        return jax.tree.map(lambda x: jnp.squeeze(x, 0), obs)
+
+    def step(self, state, actions):
+        actions = jnp.asarray(actions, dtype=jnp.int32).reshape((1,))
+        obs, state, rew, term, trunc = self.env.step(state, actions)
+        squeeze = lambda x: jnp.squeeze(x, 0)
+        return (
+            jax.tree.map(squeeze, obs), state,
+            squeeze(rew), squeeze(term), squeeze(trunc),
+        )

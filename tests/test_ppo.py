@@ -1,0 +1,31 @@
+"""PPO training step: compiles, runs, updates parameters."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multigrid_tpu.envs import make
+from multigrid_tpu.learn import ActorCritic, PPOConfig, make_train_step, ppo_init
+from multigrid_tpu.parallel import VectorEnv
+
+
+def test_train_step_updates_params():
+    venv = VectorEnv(make('MultiGrid-Empty-5x5-v0', agents=2), 4)
+    net = ActorCritic(hidden=16)
+    config = PPOConfig(rollout_steps=4)
+    state, net, config, tx = ppo_init(
+        venv, jax.random.key(0), net=net, config=config
+    )
+    train_step = make_train_step(venv, net, config, tx)
+
+    before = jax.tree.leaves(state.params)[0].copy()
+    state, metrics = train_step(state)
+    state, metrics = train_step(state)
+
+    assert int(state.update_count) == 2
+    assert np.isfinite(float(metrics['loss']))
+    assert np.isfinite(float(metrics['entropy']))
+    after = jax.tree.leaves(state.params)[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+    # Env kept stepping inside the rollout scan.
+    assert state.env_state.step_count.shape == (4,)

@@ -1,0 +1,86 @@
+"""VectorEnv: lockstep batching, auto-reset, sharding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multigrid_tpu.envs import make
+from multigrid_tpu.parallel import VectorEnv, make_mesh
+
+
+def test_batch_matches_single():
+    """Batched step == per-env step (same keys)."""
+    env = make('MultiGrid-Empty-5x5-v0', agents=2)
+    venv = VectorEnv(env, 4, auto_reset=False)
+    key = jax.random.key(0)
+    obs, state = venv.reset(key)
+
+    keys = jax.random.split(key, 4)
+    for e in range(4):
+        obs_e, state_e = env.reset(keys[e])
+        np.testing.assert_array_equal(obs['image'][e], obs_e['image'])
+        np.testing.assert_array_equal(state.grid[e], state_e.grid)
+
+    actions = jnp.tile(jnp.array([[2, 1]], dtype=jnp.int32), (4, 1))
+    obs, state, rew, term, trunc, done = venv.step(state, actions)
+    assert obs['image'].shape == (4, 2, 7, 7, 3)
+    assert rew.shape == (4, 2) and done.shape == (4,)
+
+
+def test_auto_reset():
+    """An env whose episode ends is replaced by a fresh layout in-kernel."""
+    env = make('MultiGrid-Empty-5x5-v0', agents=1)  # agent at (1,1) facing right
+    venv = VectorEnv(env, 2, auto_reset=True)
+    obs, state = venv.reset(jax.random.key(1))
+
+    # Env 0 drives to the goal at (3, 3): forward x2, turn right, forward x2.
+    plan = [2, 2, 1, 2, 2]
+    for t, a in enumerate(plan):
+        actions = jnp.array([[a], [6]], dtype=jnp.int32)  # env 1 idles
+        obs, state, rew, term, trunc, done = venv.step(state, actions)
+        if t < len(plan) - 1:
+            assert not bool(done[0])
+    assert bool(done[0]) and not bool(done[1])
+    assert float(rew[0, 0]) > 0
+    # After auto-reset the agent is back at the start, episode counter cleared.
+    assert int(state.step_count[0]) == 0
+    np.testing.assert_array_equal(np.asarray(state.agent_pos[0]), [[1, 1]])
+    assert not bool(state.agent_terminated[0, 0])
+    # Env 1 kept stepping.
+    assert int(state.step_count[1]) == len(plan)
+
+
+def test_truncation_auto_reset():
+    env = make('MultiGrid-Empty-5x5-v0', agents=1, max_steps=3)
+    venv = VectorEnv(env, 2, auto_reset=True)
+    _, state = venv.reset(jax.random.key(2))
+    for _ in range(3):
+        actions = jnp.zeros((2, 1), dtype=jnp.int32)  # spin in place
+        obs, state, rew, term, trunc, done = venv.step(state, actions)
+    assert bool(done.all())
+    assert int(state.step_count[0]) == 0
+
+
+def test_sharded_vector_env():
+    """Env axis sharded over the 8 virtual CPU devices."""
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    env = make('MultiGrid-BlockedUnlockPickup-v0', agents=2)
+    venv = VectorEnv(env, 16, mesh=mesh)
+    obs, state = venv.reset(jax.random.key(3))
+    assert state.grid.sharding.is_equivalent_to(
+        jax.NamedSharding(mesh, jax.P('env')), state.grid.ndim
+    )
+    actions = jnp.zeros((16, 2), dtype=jnp.int32)
+    obs, state, *_ = venv.step(state, actions)
+    assert obs['image'].shape == (16, 2, 7, 7, 3)
+
+
+def test_rollout_random():
+    env = make('MultiGrid-Empty-8x8-v0', agents=2)
+    venv = VectorEnv(env, 8)
+    _, state = venv.reset(jax.random.key(4))
+    state, summary = venv.rollout_random(state, jax.random.key(5), 64)
+    assert int(summary['episodes']) >= 0
+    assert state.grid.shape == (8, 8, 8, 3)
