@@ -131,25 +131,39 @@ class VectorEnv:
 
         The throughput benchmark core: one fused scan, nothing leaves the
         device until the final state. Returns ``(state, summary)`` where
-        summary holds reward/done tallies (so the scan has data dependencies
-        XLA cannot elide).
+        summary holds reward/done tallies plus an observation checksum — the
+        checksum gives the obs kernel a live data dependency, so XLA cannot
+        dead-code-eliminate observation generation out of the benchmark.
         """
         def body(carry, _):
-            st, k, rew_sum, done_sum = carry
+            st, k, rew_sum, done_sum, obs_sum = carry
             k, ak = jax.random.split(k)
             actions = jax.random.randint(
                 ak, (self.num_envs, self.num_agents), 0, 7, dtype=jnp.int32
             )
-            _, st, rew, _, _, done = self.step(st, actions)
-            return (st, k, rew_sum + rew.sum(), done_sum + done.sum()), None
+            obs, st, rew, _, _, done = self.step(st, actions)
+            # The image is the expensive leaf — checksum it specifically so
+            # the obs kernel stays live (dict iteration order would otherwise
+            # pick 'direction', leaving the image dead code).
+            obs_leaf = obs['image'] if isinstance(obs, dict) and 'image' in obs \
+                else jax.tree.leaves(obs)[-1]
+            return (
+                st, k,
+                rew_sum + rew.sum(),
+                done_sum + done.sum(),
+                obs_sum + obs_leaf.sum(dtype=jnp.int32),
+            ), None
 
         init = (
             state,
             key,
             jnp.zeros((), jnp.float32),
             jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.int32),
         )
-        (state, _, rew_sum, done_sum), _ = jax.lax.scan(
+        (state, _, rew_sum, done_sum, obs_sum), _ = jax.lax.scan(
             body, init, None, length=steps
         )
-        return state, {'reward_sum': rew_sum, 'episodes': done_sum}
+        return state, {
+            'reward_sum': rew_sum, 'episodes': done_sum, 'obs_sum': obs_sum,
+        }
