@@ -116,10 +116,12 @@ class BlockedUnlockPickupEnv(RoomGrid):
         reward_value = (
             1.0 - 0.9 * state.step_count.astype(jnp.float32) / cfg.max_steps
         )
+        agent_iota = jnp.arange(cfg.num_agents, dtype=jnp.int32)
         for i in range(cfg.num_agents):
             fire = jnp.all(state.agent_carrying[i] == target)
             terminated, rewards = apply_success(
-                cfg, i, fire, state.agent_terminated, rewards, reward_value)
+                cfg, agent_iota == i, fire, state.agent_terminated, rewards,
+                reward_value)
             state = state.replace(agent_terminated=terminated)
         return state, rewards, state.agent_terminated
 

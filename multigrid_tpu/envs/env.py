@@ -122,14 +122,18 @@ class MultiGridEnv(abc.ABC):
 
     # -------------------------------------------------------------- core fns
 
+    def reset_core(self, key: jax.Array) -> MultiGridState:
+        """Fresh episode state without observation generation."""
+        gen_key, rng = jax.random.split(key)
+        state = self._gen_grid(gen_key)
+        return state.replace(
+            rng=rng, step_count=jnp.zeros((), dtype=jnp.int32)
+        )
+
     @functools.partial(jax.jit, static_argnums=0)
     def reset(self, key: jax.Array):
         """Start a new episode. Returns ``(obs, state)`` (base.py:250-301)."""
-        gen_key, rng = jax.random.split(key)
-        state = self._gen_grid(gen_key)
-        state = state.replace(
-            rng=rng, step_count=jnp.zeros((), dtype=jnp.int32)
-        )
+        state = self.reset_core(key)
         obs = gen_obs(self.cfg, state)
         return obs, state
 
@@ -170,19 +174,33 @@ class MultiGridEnv(abc.ABC):
         """Generate observations for an existing state (base.py:348-376)."""
         return gen_obs(self.cfg, state)
 
-    def _step_inner(self, state, actions, order, action_mask):
+    def step_core(self, state, actions, order, action_mask=None):
+        """Dynamics + post-step hook WITHOUT observation generation.
+
+        Returns ``(obs_state, state, rewards, terms, truncs)`` where
+        ``obs_state`` is the post-action, *pre-hook* state observations must
+        be generated from (base.py:337 generates obs before subclass step()
+        bodies run), and ``state`` is the carried post-hook state. Used by
+        batched execution to generate observations exactly once per step
+        (after auto-reset merging).
+        """
         prev_state = state
         if action_mask is None:
             action_mask = jnp.ones((self.cfg.num_agents,), dtype=jnp.bool_)
         state, rewards, terms, truncs = step_with_order(
             self.cfg, state, actions, order, action_mask
         )
-        # Observations reflect the post-action, pre-hook state (base.py:337
-        # generates obs before subclass step() bodies run).
-        obs = gen_obs(self.cfg, state)
+        obs_state = state
         state, rewards, terms = self.post_step(
             prev_state, state, actions, rewards, terms, action_mask
         )
+        return obs_state, state, rewards, terms, truncs
+
+    def _step_inner(self, state, actions, order, action_mask):
+        obs_state, state, rewards, terms, truncs = self.step_core(
+            state, actions, order, action_mask
+        )
+        obs = gen_obs(self.cfg, obs_state)
         return obs, state, rewards, terms, truncs
 
     # ---------------------------------------------------------------- helpers

@@ -188,28 +188,36 @@ class LockedHallwayEnv(RoomGrid):
             1.0 - 0.9 * state.step_count.astype(jnp.float32) / cfg.max_steps
         )
 
+        # Door positions are static layout constants, so the door cells'
+        # encodings come from static (constant-index) slicing; the per-agent
+        # forward cell is matched against them with masks — no per-env
+        # gathers/scatters (see ops/step.py TPU note).
+        door_encs = state.grid[self._door_pos[:, 0], self._door_pos[:, 1]]
+        dir4 = jnp.arange(4, dtype=jnp.int32)
         for i in range(cfg.num_agents):
-            fwd = state.agent_pos[i] + dir_vec[state.agent_dir[i]]
-            fx = jnp.clip(fwd[0], 0, cfg.width - 1)
-            fy = jnp.clip(fwd[1], 0, cfg.height - 1)
-            fwd_enc = state.grid[fx, fy]
+            doh = (dir4 == state.agent_dir[i])[:, None]
+            fwd = state.agent_pos[i] + jnp.sum(
+                jnp.where(doh, dir_vec, 0), axis=0)
+            matches = jnp.all(fwd[None, :] == door_pos, axis=-1)  # (D,)
+            # Doors are at distinct cells: at most one row matches.
+            fwd_enc = jnp.sum(
+                jnp.where(matches[:, None], door_encs, 0), axis=0)
             door_not_locked = (
                 (fwd_enc[0] == TYPE_DOOR) & (fwd_enc[2] != STATE_LOCKED))
-            matches = jnp.all(fwd[None, :] == door_pos, axis=-1)
-            d_idx = jnp.argmax(matches)
+            not_yet = jnp.any(matches & ~unlocked)
             fire = (
                 action_mask[i]
                 & (actions[i] == int(Action.toggle))
                 & door_not_locked
                 & jnp.any(matches)
-                & ~unlocked[d_idx]
+                & not_yet
             )
             add = jnp.where(fire, reward_value, 0.0)
             if cfg.joint_reward:
                 rewards = rewards + add
             else:
                 rewards = rewards.at[i].add(add)
-            unlocked = unlocked.at[d_idx].set(unlocked[d_idx] | fire)
+            unlocked = unlocked | (matches & fire)
 
         all_unlocked = jnp.all(unlocked)
         terminations = jnp.where(

@@ -98,12 +98,25 @@ class RedBlueDoorsEnv(MultiGridEnv):
         reward_value = (
             1.0 - 0.9 * state.step_count.astype(jnp.float32) / cfg.max_steps
         )
+        # Door positions are per-env traced values: read/write their cells
+        # through one-hot masks, not gathers/scatters (see ops/step.py note).
+        cx = jnp.arange(cfg.width, dtype=jnp.int32)[:, None]
+        cy = jnp.arange(cfg.height, dtype=jnp.int32)[None, :]
+        blue_mask = (cx == blue_pos[0]) & (cy == blue_pos[1])
+        red_mask = (cx == red_pos[0]) & (cy == red_pos[1])
+        agent_iota = jnp.arange(cfg.num_agents, dtype=jnp.int32)
 
+        def cell_state(mask):
+            return jnp.sum(jnp.where(mask, state.grid[..., 2], 0))
+
+        dir4 = jnp.arange(4, dtype=jnp.int32)
         for i in range(cfg.num_agents):  # dict insertion order 0..N-1
-            fwd = state.agent_pos[i] + dir_vec[state.agent_dir[i]]
+            doh = (dir4 == state.agent_dir[i])[:, None]
+            fwd = state.agent_pos[i] + jnp.sum(
+                jnp.where(doh, dir_vec, 0), axis=0)
             facing_blue = jnp.all(fwd == blue_pos)
-            blue_open = state.grid[blue_pos[0], blue_pos[1], 2] == STATE_OPEN
-            red_open = state.grid[red_pos[0], red_pos[1], 2] == STATE_OPEN
+            blue_open = cell_state(blue_mask) == STATE_OPEN
+            red_open = cell_state(red_mask) == STATE_OPEN
             fire = (
                 action_mask[i] & (actions[i] == int(Action.toggle))
                 & facing_blue & blue_open
@@ -111,15 +124,15 @@ class RedBlueDoorsEnv(MultiGridEnv):
             success = fire & red_open
             failure = fire & ~red_open
 
+            oh = agent_iota == i
             terminated, rewards = apply_success(
-                cfg, i, success, state.agent_terminated, rewards, reward_value)
-            terminated = apply_failure(cfg, i, failure, terminated)
+                cfg, oh, success, state.agent_terminated, rewards, reward_value)
+            terminated = apply_failure(cfg, oh, failure, terminated)
             # Failure closes the blue door again (redbluedoors.py:186).
-            blue_cell = state.grid[blue_pos[0], blue_pos[1]]
-            new_blue = jnp.where(
-                failure, blue_cell.at[2].set(STATE_CLOSED), blue_cell)
+            new_state_ch = jnp.where(
+                failure & blue_mask, STATE_CLOSED, state.grid[..., 2])
             state = state.replace(
-                grid=state.grid.at[blue_pos[0], blue_pos[1]].set(new_blue),
+                grid=state.grid.at[..., 2].set(new_state_ch),
                 agent_terminated=terminated,
             )
 

@@ -148,19 +148,53 @@ def _overlay_agents(state: MultiGridState) -> jax.Array:
 
     The reference overlays agents in index order 0..N-1 (later indices win on
     overlapping positions), skipping terminated agents; the loop is unrolled
-    here to preserve that overwrite order exactly.
+    here to preserve that overwrite order exactly. Writes are one-hot masked
+    selects, not scatters (per-env positions are traced under vmap and
+    scatters would serialize terribly on TPU).
     """
     grid = state.grid
     enc = state.agent_encoding
-    n = state.num_agents
-    for a in range(n):
-        x = state.agent_pos[a, 0]
-        y = state.agent_pos[a, 1]
-        cur = grid[x, y]
-        grid = grid.at[x, y].set(
-            jnp.where(state.agent_terminated[a], cur, enc[a])
+    w, h, _ = grid.shape
+    cx = jnp.arange(w, dtype=jnp.int32)[:, None]
+    cy = jnp.arange(h, dtype=jnp.int32)[None, :]
+    for a in range(state.num_agents):
+        m = (
+            (cx == state.agent_pos[a, 0])
+            & (cy == state.agent_pos[a, 1])
+            & ~state.agent_terminated[a]
         )
+        grid = jnp.where(m[..., None], enc[a][None, None, :], grid)
     return grid
+
+
+def _shift_crop(
+    v: jax.Array, shift: jax.Array, size: int, axis: int, *, stride: int = 1
+) -> jax.Array:
+    """``v[stride·shift : stride·(shift + size)]`` along ``axis`` with a
+    *traced* per-batch start, computed without a gather.
+
+    The shift decomposes into its binary digits: ``ceil(log2(dim/stride))``
+    predicated static rolls (``where(bit_k, roll(v, -stride·2^k), v)``) —
+    pure data movement + elementwise select, which vectorizes perfectly over
+    the env batch, unlike per-env dynamic slices which lower to gathers
+    (measured ~20× slower at 4096 envs on TPU). ``shift`` may have leading
+    batch dims that broadcast against ``v``'s leading dims.
+    """
+    dim = v.shape[axis] // stride
+    nbits = max(1, (dim - 1).bit_length())
+    axis = axis % v.ndim
+    # High bit first: once bit k is applied the remaining shift is < 2^k, so
+    # only the first (2^k - 1 + size) entries can still be needed — each pass
+    # slices the working array down, roughly halving total bytes moved
+    # compared to a fixed-size chain.
+    for k in reversed(range(nbits)):
+        rolled = jnp.roll(v, -stride * (1 << k), axis=axis)
+        bit = ((shift >> k) & 1).astype(jnp.bool_)
+        bit = bit.reshape(bit.shape + (1,) * (v.ndim - bit.ndim))
+        v = jnp.where(bit, rolled, v)
+        keep = min(v.shape[axis] // stride, (1 << k) - 1 + size)
+        v = jax.lax.slice_in_dim(v, 0, stride * keep, axis=axis)
+    return jax.lax.slice_in_dim(v, 0, stride * size, axis=axis)
 
 
 def gen_obs_grid(
@@ -171,42 +205,60 @@ def gen_obs_grid(
     Equivalent of ``gen_obs_grid`` (obs.py:130-209): overlay, crop with
     out-of-bounds→wall, rotate to face up, carried-object overlay.
 
+    TPU mapping: the crop at per-agent traced offsets is two chains of
+    predicated rolls (binary-decomposed shift, :func:`_shift_crop`) — no
+    gathers, no scatters, no tiny-matrix matmuls; everything on the hot path
+    is elementwise/static data movement. The padded grid is cast to int8
+    (cell values ≤ 10) with the channel dim folded into the minor axis, so
+    the roll chain moves 4× fewer bytes in a lane-friendly layout.
+
     Returns ``(N, vs, vs, 3)`` int32.
     """
     vs = view_size
+    n = state.num_agents
     w, h, _ = state.grid.shape
+    wp, hp = w + 2 * vs, h + 2 * vs
 
     # 1. Agent overlay (single-agent envs skip it, obs.py:172-173 — the
     #    result is identical since the agent's own cell is overwritten below).
-    grid = _overlay_agents(state) if state.num_agents > 1 else state.grid
+    grid = _overlay_agents(state) if n > 1 else state.grid
 
-    # 2. Wall-pad the grid so every crop is a plain dynamic slice.
-    wall = jnp.asarray(WALL_ENCODING, dtype=grid.dtype)
-    big = jnp.broadcast_to(wall, (w + 2 * vs, h + 2 * vs, 3))
-    big = jax.lax.dynamic_update_slice(big, grid, (vs, vs, 0))
+    # 2. Wall-pad the grid so out-of-bounds view cells read as walls
+    #    (obs.py:199-202). Static-offset update: not a scatter. int8 packed:
+    #    (wp, hp*3) with channels interleaved along the minor axis.
+    wall = jnp.asarray(WALL_ENCODING, dtype=jnp.int8)
+    big = jnp.broadcast_to(wall, (wp, hp, 3))
+    big = jax.lax.dynamic_update_slice(
+        big, grid.astype(jnp.int8), (vs, vs, 0)
+    ).reshape(wp, hp * 3)
 
     top_x, top_y = get_view_exts(state.agent_dir, state.agent_pos, vs)
 
-    def crop_one(tx, ty, dirn, carrying):
-        window = jax.lax.dynamic_slice(big, (tx + vs, ty + vs, 0), (vs, vs, 3))
-        # Rotate (dir + 1) % 4 left-rotations so the agent faces up
-        # (obs.py:180-196); k left-rotations == jnp.rot90(window, k=-k).
-        rots = jnp.stack(
-            [
-                window,
-                jnp.rot90(window, k=-1, axes=(0, 1)),
-                jnp.rot90(window, k=-2, axes=(0, 1)),
-                jnp.rot90(window, k=-3, axes=(0, 1)),
-            ]
-        )
-        out = rots[(dirn + 1) % 4]
-        # Carried-object overlay at the agent's own view cell (obs.py:204-207)
-        # — written unconditionally, empty encoding when hands are free.
-        return out.at[vs // 2, vs - 1].set(carrying)
+    # 3. All agents' windows in world orientation via predicated-roll crops
+    #    (window[a, u, v] = big[top_x[a] + vs + u, top_y[a] + vs + v]).
+    v = jnp.broadcast_to(big[None], (n, wp, hp * 3))
+    v = _shift_crop(v, top_x + vs, vs, axis=1)               # (N, vs, hp*3)
+    v = _shift_crop(v, top_y + vs, vs, axis=2, stride=3)     # (N, vs, vs*3)
+    win = v.reshape(n, vs, vs, 3)
 
-    return jax.vmap(crop_one)(
-        top_x, top_y, state.agent_dir, state.agent_carrying
+    # 4. Rotate (dir + 1) % 4 left-rotations so the agent faces up
+    #    (obs.py:180-196); k left-rotations == jnp.rot90(..., k=-k). The
+    #    rotation count is per-agent traced, so select between the four
+    #    statically-rotated copies with masks (no dynamic indexing).
+    k = ((state.agent_dir + 1) % 4).reshape((-1, 1, 1, 1))
+    out = jnp.where(k == 0, win, 0)
+    for kk in range(1, 4):
+        out = out + jnp.where(
+            k == kk, jnp.rot90(win, k=-kk, axes=(1, 2)), 0
+        )
+
+    # 5. Carried-object overlay at the agent's own view cell (obs.py:204-207)
+    #    — written unconditionally, empty encoding when hands are free.
+    #    Static indices: a plain strided update. int32 only at the boundary.
+    out = out.at[:, vs // 2, vs - 1].set(
+        state.agent_carrying.astype(jnp.int8)
     )
+    return out.astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))

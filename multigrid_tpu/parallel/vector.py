@@ -26,6 +26,7 @@ from jax.sharding import Mesh
 
 from ..core.state import MultiGridState
 from ..envs.env import MultiGridEnv
+from ..ops.step import sample_order
 from .mesh import env_sharding, make_mesh
 
 
@@ -88,6 +89,12 @@ class VectorEnv:
     def step(self, state: MultiGridState, actions: jax.Array):
         """Step all envs; auto-reset finished episodes in-kernel.
 
+        Observation generation — the most expensive kernel — runs exactly
+        once, on the post-auto-reset merged state: finished envs observe
+        their fresh layout, running envs their post-action pre-hook state
+        (the reference generates obs before subclass step() hooks run,
+        base.py:337).
+
         Parameters
         ----------
         state : batched MultiGridState (leading E axis; donated)
@@ -97,26 +104,31 @@ class VectorEnv:
         -------
         (obs, state, rewards, terminations, truncations, done)
         """
-        obs, new_state, rew, term, trunc = jax.vmap(self.env.step)(
-            state, actions
-        )
+        from ..ops.obs import gen_obs
+
+        def one(s, a):
+            order_key, rng = jax.random.split(s.rng)
+            order = sample_order(order_key, self.env.cfg.num_agents)
+            s = s.replace(rng=rng)
+            return self.env.step_core(s, a, order, None)
+
+        obs_state, new_state, rew, term, trunc = jax.vmap(one)(state, actions)
         done = jnp.all(term, axis=-1) | jnp.any(trunc, axis=-1)
         if self.auto_reset:
             # One fixed-cost reset computed for every env each step; envs that
             # aren't done keep their stepped state via the predicated select.
-            # XLA dead-code-eliminates nothing here, but layout generation is
-            # a few predicated draws — negligible next to the obs kernel.
             reset_key = jax.vmap(
                 lambda s: jax.random.fold_in(s.rng, 0)
             )(new_state)
-            reset_obs, reset_state = jax.vmap(self.env.reset)(reset_key)
+            reset_state = jax.vmap(self.env.reset_core)(reset_key)
 
             def sel(r, s):
                 d = done.reshape(done.shape + (1,) * (r.ndim - 1))
                 return jnp.where(d, r, s)
 
             new_state = jax.tree.map(sel, reset_state, new_state)
-            obs = jax.tree.map(sel, reset_obs, obs)
+            obs_state = jax.tree.map(sel, reset_state, obs_state)
+        obs = jax.vmap(lambda s: gen_obs(self.env.cfg, s))(obs_state)
         return self._constrain((obs, new_state, rew, term, trunc, done))
 
     @functools.partial(jax.jit, static_argnums=0)

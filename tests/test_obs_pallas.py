@@ -1,0 +1,36 @@
+"""Fused Pallas obs kernel ≡ XLA obs path (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multigrid_tpu.envs import make
+from multigrid_tpu.ops.obs import gen_obs_grid_encoding
+from multigrid_tpu.ops.obs_pallas import gen_obs_batched_pallas
+from multigrid_tpu.parallel import VectorEnv
+
+
+@pytest.mark.parametrize('env_id,agents', [
+    ('MultiGrid-Empty-8x8-v0', 2),
+    ('MultiGrid-BlockedUnlockPickup-v0', 3),
+    ('MultiGrid-Empty-16x16-v0', 1),
+])
+@pytest.mark.parametrize('stw', [False, True])
+def test_pallas_matches_xla(env_id, agents, stw):
+    env = make(env_id, agents=agents)
+    venv = VectorEnv(env, 8, auto_reset=True)
+    _, state = venv.reset(jax.random.key(0))
+
+    key = jax.random.key(1)
+    for _ in range(3):  # advance into interesting configurations
+        key, ak = jax.random.split(key)
+        acts = jax.random.randint(ak, (8, agents), 0, 7, dtype=jnp.int32)
+        _, state, *_ = venv.step(state, acts)
+
+    vs = env.cfg.view_size
+    ref = jax.vmap(
+        lambda s: gen_obs_grid_encoding(s, vs, stw)
+    )(state)
+    got = gen_obs_batched_pallas(state, vs, stw, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
