@@ -102,6 +102,15 @@ class MultiGridEnv(abc.ABC):
         from ..core.mission import MissionSpace
         return MissionSpace.from_string(self.mission)
 
+    def transform_obs(self, obs, state: MultiGridState):
+        """Observation post-processing hook; identity for base environments.
+
+        Observation wrappers compose through this so batched execution
+        (VectorEnv) can generate raw observations once and apply the wrapper
+        chain afterwards.
+        """
+        return obs
+
     def post_step(
         self,
         prev_state: MultiGridState,

@@ -26,6 +26,7 @@ from jax.sharding import Mesh
 
 from ..core.state import MultiGridState
 from ..envs.env import MultiGridEnv
+from ..ops.obs import gen_obs
 from ..ops.step import sample_order
 from .mesh import env_sharding, make_mesh
 
@@ -53,12 +54,25 @@ class VectorEnv:
         *,
         auto_reset: bool = True,
         mesh: Mesh | None = None,
+        use_pallas_obs: bool | None = None,
     ):
         self.env = env
         self.num_envs = num_envs
         self.auto_reset = auto_reset
         self.mesh = mesh
         self._sharding = env_sharding(mesh) if mesh is not None else None
+        if use_pallas_obs is None:
+            # The fused kernel requires a TPU backend and a block-divisible
+            # env batch; per-shard batches must stay divisible too.
+            # Multi-device meshes route through the XLA path until the
+            # kernel is wrapped in shard_map (single-chip covers the bench).
+            single = mesh is None or mesh.devices.size == 1
+            use_pallas_obs = (
+                jax.default_backend() not in ('cpu', 'gpu')
+                and single
+                and num_envs % 128 == 0
+            )
+        self.use_pallas_obs = use_pallas_obs
 
     @classmethod
     def sharded(cls, env: MultiGridEnv, num_envs: int, **kwargs) -> 'VectorEnv':
@@ -104,7 +118,6 @@ class VectorEnv:
         -------
         (obs, state, rewards, terminations, truncations, done)
         """
-        from ..ops.obs import gen_obs
 
         def one(s, a):
             order_key, rng = jax.random.split(s.rng)
@@ -128,8 +141,22 @@ class VectorEnv:
 
             new_state = jax.tree.map(sel, reset_state, new_state)
             obs_state = jax.tree.map(sel, reset_state, obs_state)
-        obs = jax.vmap(lambda s: gen_obs(self.env.cfg, s))(obs_state)
+        obs = self._gen_obs_batched(obs_state)
+        obs = jax.vmap(self.env.transform_obs)(obs, obs_state)
         return self._constrain((obs, new_state, rew, term, trunc, done))
+
+    def _gen_obs_batched(self, state: MultiGridState):
+        """Raw observations for a batched state — fused Pallas kernel on TPU,
+        vmapped XLA path elsewhere (bit-identical; tests/test_obs_pallas.py).
+        """
+        cfg = self.env.cfg
+        if self.use_pallas_obs:
+            from ..ops.obs_pallas import gen_obs_batched_pallas
+            image = gen_obs_batched_pallas(
+                state, cfg.view_size, cfg.see_through_walls
+            )
+            return {'image': image, 'direction': state.agent_dir}
+        return jax.vmap(lambda s: gen_obs(cfg, s))(state)
 
     @functools.partial(jax.jit, static_argnums=0)
     def observe(self, state: MultiGridState):

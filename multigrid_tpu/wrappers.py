@@ -61,6 +61,11 @@ class ObservationWrapper:
     def observation(self, obs, state: MultiGridState):
         raise NotImplementedError
 
+    def transform_obs(self, obs, state: MultiGridState):
+        """Composed wrapper chain (inner transforms first) — the hook batched
+        execution applies after generating raw observations once."""
+        return self.observation(self.env.transform_obs(obs, state), state)
+
     def reset(self, key: jax.Array):
         obs, state = self.env.reset(key)
         return self.observation(obs, state), state
