@@ -1,0 +1,82 @@
+"""Checkpoint / resume via orbax.
+
+The reference delegates checkpointing entirely to RLlib's Tuner
+(multigrid/scripts/train.py:184-195); here env state is a pytree of arrays,
+so training state (params, optimizer state, env batch, RNG) checkpoints and
+restores as a single atomic orbax save — including mid-episode environment
+state, which the reference cannot capture at all.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+    return ocp.PyTreeCheckpointer()
+
+
+def _is_key(x) -> bool:
+    return hasattr(x, 'dtype') and jax.dtypes.issubdtype(
+        x.dtype, jax.dtypes.prng_key)
+
+
+def save_checkpoint(path: str, state: Any) -> str:
+    """Atomically save a pytree (TrainState or env state) to ``path``.
+
+    Typed PRNG keys are stored as their raw key data (orbax/numpy cannot
+    serialize extended dtypes) and re-wrapped on restore.
+    """
+    path = os.path.abspath(path)
+    plain = jax.tree.map(
+        lambda x: np.asarray(jax.random.key_data(x)) if _is_key(x)
+        else np.asarray(x),
+        state,
+    )
+    _checkpointer().save(path, plain, force=True)
+    return path
+
+
+def restore_checkpoint(path: str, target: Any) -> Any:
+    """Restore a pytree saved by :func:`save_checkpoint`.
+
+    ``target`` supplies the structure/dtypes (e.g. a freshly-initialized
+    TrainState); restored leaves are placed like the target's.
+    """
+    plain_target = jax.tree.map(
+        lambda x: np.asarray(jax.random.key_data(x)) if _is_key(x) else x,
+        target,
+    )
+    restored = _checkpointer().restore(
+        os.path.abspath(path), item=plain_target)
+
+    def place(t, r):
+        if _is_key(t):
+            return jax.random.wrap_key_data(
+                jax.numpy.asarray(r),
+                impl=jax.random.key_impl(t),
+            )
+        if hasattr(t, 'dtype'):
+            return jax.device_put(jax.numpy.asarray(r)).astype(t.dtype)
+        return r
+
+    return jax.tree.map(place, target, restored)
+
+
+def latest_checkpoint(directory: str) -> str | None:
+    """Most recent ``step_*`` checkpoint under ``directory``, or None."""
+    if not os.path.isdir(directory):
+        return None
+    steps = [
+        d for d in os.listdir(directory)
+        if d.startswith('step_') and d.split('_')[-1].isdigit()
+    ]
+    if not steps:
+        return None
+    best = max(steps, key=lambda d: int(d.split('_')[-1]))
+    return os.path.join(directory, best)

@@ -1,0 +1,132 @@
+"""Train PPO agents on MultiGrid environments (TPU-native).
+
+The counterpart of the reference's RLlib example (multigrid/scripts/train.py)
+with the Ray process topology replaced by one jit-compiled program: thousands
+of lockstep envs and the PPO learner co-located on the device mesh.
+
+Examples
+--------
+python scripts/train.py --algo PPO --framework jax \\
+    --env MultiGrid-Empty-8x8-v0 --num-agents 2 --num-envs 1024 \\
+    --num-timesteps 1000000 --save-dir ~/ray_results/
+
+python scripts/train.py --env MultiGrid-BlockedUnlockPickup-v0 \\
+    --num-agents 2 --num-envs 4096 --lr 0.0003 --load-dir ckpts/run1
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+
+
+def parse_args() -> argparse.Namespace:
+    p = argparse.ArgumentParser(
+        description='Train PPO agents on MultiGrid (TPU-native).')
+    # Flags mirror the reference CLI (scripts/train.py:203-242) where they
+    # still make sense; Ray-specific ones are accepted and ignored.
+    p.add_argument('--algo', default='PPO', choices=['PPO'],
+                   help='RL algorithm (PPO only)')
+    p.add_argument('--framework', default='jax', help='ignored (always jax)')
+    p.add_argument('--env', default='MultiGrid-Empty-8x8-v0')
+    p.add_argument('--env-config', type=json.loads, default={},
+                   help='JSON dict of environment kwargs')
+    p.add_argument('--num-agents', type=int, default=2)
+    p.add_argument('--num-envs', type=int, default=1024,
+                   help='lockstep parallel envs (the reference uses '
+                        '--num-workers Ray processes instead)')
+    p.add_argument('--num-workers', type=int, default=None,
+                   help='compat alias: treated as a hint for --num-envs')
+    p.add_argument('--num-gpus', type=int, default=0, help='ignored')
+    p.add_argument('--num-timesteps', type=int, default=1_000_000)
+    p.add_argument('--rollout-steps', type=int, default=16)
+    p.add_argument('--epochs', type=int, default=1,
+                   help='PPO epochs per batch')
+    p.add_argument('--lr', type=float, default=3e-4)
+    p.add_argument('--gamma', type=float, default=0.99)
+    p.add_argument('--ent-coef', type=float, default=0.01)
+    p.add_argument('--hidden', type=int, default=128)
+    p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--save-dir', default='checkpoints',
+                   help='checkpoint directory (saved every --save-interval '
+                        'updates, reference checkpoints every 20 iterations)')
+    p.add_argument('--save-interval', type=int, default=20)
+    p.add_argument('--load-dir', default=None,
+                   help='resume from the latest checkpoint in this directory')
+    p.add_argument('--log-jsonl', default=None,
+                   help='append per-update metrics as JSON lines')
+    p.add_argument('--mesh', action='store_true',
+                   help='shard the env batch over all local devices')
+    return p.parse_args()
+
+
+def train(args: argparse.Namespace) -> None:
+    from multigrid_tpu.envs import make
+    from multigrid_tpu.learn import ActorCritic, PPOConfig, make_train_step, ppo_init
+    from multigrid_tpu.parallel import VectorEnv, make_mesh
+    from multigrid_tpu.utils.checkpoint import (
+        latest_checkpoint, restore_checkpoint, save_checkpoint)
+    from multigrid_tpu.utils.profiling import PhaseTimer, force_completion
+
+    env = make(args.env, agents=args.num_agents, **args.env_config)
+    mesh = make_mesh() if args.mesh else None
+    venv = VectorEnv(env, args.num_envs, mesh=mesh)
+    config = PPOConfig(
+        rollout_steps=args.rollout_steps, lr=args.lr, gamma=args.gamma,
+        ent_coef=args.ent_coef, epochs=args.epochs,
+    )
+    net = ActorCritic(hidden=args.hidden)
+    state, net, config, tx = ppo_init(
+        venv, jax.random.key(args.seed), net=net, config=config)
+
+    if args.load_dir:
+        ckpt = latest_checkpoint(args.load_dir)
+        if ckpt:
+            state = restore_checkpoint(ckpt, state)
+            print(f'resumed from {ckpt} (update {int(state.update_count)})')
+
+    train_step = make_train_step(venv, net, config, tx)
+    steps_per_update = args.num_envs * args.num_agents * config.rollout_steps
+    num_updates = max(1, args.num_timesteps // steps_per_update)
+    timer = PhaseTimer()
+
+    print(f'training {args.env}: {args.num_agents} agents x '
+          f'{args.num_envs} envs, {num_updates} updates of '
+          f'{steps_per_update} agent-steps on {jax.devices()[0].device_kind}')
+
+    log_f = open(args.log_jsonl, 'a') if args.log_jsonl else None
+    t_start = time.perf_counter()
+    for update in range(int(state.update_count), num_updates):
+        with timer.phase('update'):
+            state, metrics = train_step(state)
+            force_completion(metrics)
+        if (update + 1) % args.save_interval == 0 or update == num_updates - 1:
+            path = save_checkpoint(
+                os.path.join(args.save_dir, f'step_{update + 1}'), state)
+            print(f'checkpoint -> {path}')
+        if (update + 1) % 10 == 0 or update == num_updates - 1:
+            elapsed = time.perf_counter() - t_start
+            rate = (update + 1) * steps_per_update / elapsed
+            row = {
+                'update': update + 1,
+                'agent_steps': (update + 1) * steps_per_update,
+                'agent_steps_per_sec': round(rate),
+                'reward_per_step': float(metrics['reward_per_step']),
+                'loss': float(metrics['loss']),
+                'entropy': float(metrics['entropy']),
+            }
+            print(json.dumps(row))
+            if log_f:
+                log_f.write(json.dumps(row) + '\n')
+                log_f.flush()
+    if log_f:
+        log_f.close()
+    print('timing:', json.dumps(timer.summary()))
+
+
+if __name__ == '__main__':
+    train(parse_args())

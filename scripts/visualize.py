@@ -1,0 +1,95 @@
+"""Visualize trained agents (or random policies) in MultiGrid environments.
+
+Counterpart of the reference's ``scripts/visualize.py``: rolls out episodes,
+collects full-environment frames, optionally saves a GIF.
+
+Examples
+--------
+python scripts/visualize.py --env MultiGrid-Empty-8x8-v0 --num-agents 2 \\
+    --load-dir checkpoints/run1 --gif out.gif
+python scripts/visualize.py --env MultiGrid-BlockedUnlockPickup-v0 --gif bup
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args() -> argparse.Namespace:
+    p = argparse.ArgumentParser(description='Visualize MultiGrid agents.')
+    p.add_argument('--env', default='MultiGrid-Empty-8x8-v0')
+    p.add_argument('--num-agents', type=int, default=2)
+    p.add_argument('--num-episodes', type=int, default=2)
+    p.add_argument('--max-steps', type=int, default=200)
+    p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--load-dir', default=None,
+                   help='checkpoint directory from scripts/train.py; random '
+                        'policy when omitted')
+    p.add_argument('--hidden', type=int, default=128)
+    p.add_argument('--gif', default=None, help='output GIF path')
+    p.add_argument('--tile-size', type=int, default=32)
+    return p.parse_args()
+
+
+def visualize(args: argparse.Namespace) -> list[np.ndarray]:
+    from multigrid_tpu.envs import make
+    from multigrid_tpu.render import render_state
+
+    env = make(args.env, agents=args.num_agents)
+
+    policy = None
+    if args.load_dir:
+        from multigrid_tpu.learn import ActorCritic, ppo_init
+        from multigrid_tpu.parallel import VectorEnv
+        from multigrid_tpu.utils.checkpoint import (
+            latest_checkpoint, restore_checkpoint)
+        net = ActorCritic(hidden=args.hidden)
+        tmp_state, net, _, _ = ppo_init(
+            VectorEnv(env, 1), jax.random.key(0), net=net)
+        ckpt = latest_checkpoint(args.load_dir)
+        assert ckpt, f'no checkpoint under {args.load_dir}'
+        params = restore_checkpoint(ckpt, tmp_state).params
+        print(f'loaded policy from {ckpt}')
+
+        @jax.jit
+        def policy(key, obs):
+            logits, _ = net.apply(params, obs['image'], obs['direction'])
+            return jax.random.categorical(key, logits).astype(jnp.int32)
+
+    frames: list[np.ndarray] = []
+    key = jax.random.key(args.seed)
+    for ep in range(args.num_episodes):
+        key, reset_key = jax.random.split(key)
+        obs, state = env.reset(reset_key)
+        frames.append(render_state(env, state, tile_size=args.tile_size))
+        total = np.zeros(env.num_agents)
+        for t in range(args.max_steps):
+            key, act_key = jax.random.split(key)
+            if policy is None:
+                actions = jax.random.randint(
+                    act_key, (env.num_agents,), 0, 7, dtype=jnp.int32)
+            else:
+                actions = policy(act_key, obs)
+            obs, state, rew, term, trunc = env.step(state, actions)
+            frames.append(render_state(env, state, tile_size=args.tile_size))
+            total += np.asarray(rew)
+            if bool(jnp.all(term)) or bool(jnp.any(trunc)):
+                break
+        print(f'episode {ep}: {t + 1} steps, rewards {total.tolist()}')
+
+    if args.gif:
+        from PIL import Image
+        path = args.gif if args.gif.endswith('.gif') else args.gif + '.gif'
+        imgs = [Image.fromarray(f) for f in frames]
+        imgs[0].save(path, save_all=True, append_images=imgs[1:],
+                     duration=100, loop=0)
+        print(f'saved {len(frames)} frames -> {path}')
+    return frames
+
+
+if __name__ == '__main__':
+    visualize(parse_args())
