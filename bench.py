@@ -39,18 +39,29 @@ def main() -> None:
     key = jax.random.key(0)
     _, state = venv.reset(key)
 
-    # Warmup: compile + one full rollout.
-    state, _ = jax.block_until_ready(
-        venv.rollout_random(state, jax.random.key(1), args.steps)
-    )
+    # Warmup: compile + one full rollout. A host transfer (int(...)) is the
+    # completion barrier — on remote-tunnel backends block_until_ready can
+    # return before execution finishes, inflating rates by orders of
+    # magnitude.
+    state, summary = venv.rollout_random(state, jax.random.key(1), args.steps)
+    int(summary['obs_sum'])
+
+    # Estimate the fixed per-call dispatch overhead so short runs stay honest.
+    # (rollout_random donates its state argument — rebind it.)
+    state, s0 = venv.rollout_random(state, jax.random.key(99), 1)
+    int(s0['obs_sum'])
+    t0 = time.perf_counter()
+    state, s0 = venv.rollout_random(state, jax.random.key(100), 1)
+    int(s0['obs_sum'])
+    overhead = time.perf_counter() - t0
 
     best = 0.0
     for r in range(args.repeats):
         t0 = time.perf_counter()
-        state, summary = jax.block_until_ready(
-            venv.rollout_random(state, jax.random.key(2 + r), args.steps)
-        )
-        dt = time.perf_counter() - t0
+        state, summary = venv.rollout_random(
+            state, jax.random.key(2 + r), args.steps)
+        int(summary['obs_sum'])
+        dt = max(1e-9, time.perf_counter() - t0 - overhead)
         rate = args.num_envs * args.agents * args.steps / dt
         best = max(best, rate)
 

@@ -56,6 +56,16 @@ class BlockedUnlockPickupEnv(RoomGrid):
         color = Color.from_index(int(state.extras['mission_color'])).value
         return f"pick up the {color} box"
 
+    @property
+    def mission_space(self):
+        """Mission per box color (envs/blockedunlockpickup.py:137-140)."""
+        from ..core.constants import Color
+        from ..core.mission import MissionSpace
+        return MissionSpace(
+            mission_func=lambda color: f"pick up the {color} box",
+            ordered_placeholders=[[c.value for c in Color]],
+        )
+
     def _gen_grid(self, key: jax.Array) -> MultiGridState:
         """On-device layout (envs/blockedunlockpickup.py:142-164): box in the
         right room, locked door between rooms, blocking ball left of the

@@ -271,6 +271,106 @@ class RoomGrid(MultiGridEnv):
             agent_dir=jnp.zeros((cfg.num_agents,), dtype=jnp.int32),
         )
 
+    # ------------------------------------------------- device-side builders
+    # Public layout-building API for custom environments, mirroring the
+    # reference RoomGrid methods (core/roomgrid.py:238-495) as pure functions
+    # of (state, key).
+
+    def place_in_room(
+        self, state: MultiGridState, key: jax.Array, obj_enc,
+        col: int, row: int,
+    ) -> tuple[MultiGridState, jax.Array]:
+        """Place an object at a random empty position in a room, rejecting
+        cells adjacent to agents (core/roomgrid.py:238-256)."""
+        return place_object_device(
+            state, key, obj_enc,
+            top=self.geometry.room_top(col, row),
+            size=self.geometry.room_shape,
+            reject_next_to=True,
+        )
+
+    def add_object(
+        self, state: MultiGridState, key: jax.Array,
+        col: int, row: int, kind: int, color: jax.Array | int,
+    ) -> tuple[MultiGridState, jax.Array]:
+        """Add an object of a given type/color to a room
+        (core/roomgrid.py:258-281)."""
+        enc = jnp.stack([
+            jnp.asarray(kind, jnp.int32),
+            jnp.asarray(color, jnp.int32),
+            jnp.zeros((), jnp.int32),
+        ])
+        return self.place_in_room(state, key, enc, col, row)
+
+    def add_door(
+        self, state: MultiGridState, key: jax.Array,
+        col: int, row: int, direction: int,
+        color: jax.Array | int, locked: bool = False,
+        rand_pos: bool = True,
+    ) -> tuple[MultiGridState, jax.Array]:
+        """Add a door on a room wall (core/roomgrid.py:283-331): random or
+        midpoint position along the wall span, returning (state, door_pos)."""
+        from ..core.constants import STATE_CLOSED, STATE_LOCKED, TYPE_DOOR
+        geom = self.geometry
+        if rand_pos:
+            axis, fixed, lo, hi = geom.door_wall_span(col, row, direction)
+            coord = jax.random.randint(key, (), lo, hi, dtype=jnp.int32)
+            pos = jnp.stack(
+                [jnp.int32(fixed), coord] if axis == 'x'
+                else [coord, jnp.int32(fixed)])
+        else:
+            pos = jnp.asarray(
+                geom.fixed_door_pos(col, row, direction), jnp.int32)
+        enc = jnp.stack([
+            jnp.int32(TYPE_DOOR),
+            jnp.asarray(color, jnp.int32),
+            jnp.int32(STATE_LOCKED if locked else STATE_CLOSED),
+        ])
+        cx = jnp.arange(self.cfg.width, dtype=jnp.int32)[:, None]
+        cy = jnp.arange(self.cfg.height, dtype=jnp.int32)[None, :]
+        mask = ((cx == pos[0]) & (cy == pos[1]))[..., None]
+        return state.replace(
+            grid=jnp.where(mask, enc[None, None, :], state.grid)), pos
+
+    def place_agents_in_room(
+        self, state: MultiGridState, key: jax.Array, col: int, row: int,
+    ) -> MultiGridState:
+        """Place all agents in a room with the front-cell retry
+        (core/roomgrid.py:373-404)."""
+        return place_agents_device(
+            state, key,
+            top=self.geometry.room_top(col, row),
+            size=self.geometry.room_shape,
+            check_front=True,
+        )
+
+    def add_distractors(
+        self, state: MultiGridState, key: jax.Array, num_distractors: int = 10,
+    ) -> MultiGridState:
+        """Scatter random objects (ball/key/box of random colors) into random
+        rooms (core/roomgrid.py:454-495 — which crashes in the reference due
+        to a latent ``set.append`` bug; implemented correctly here)."""
+        from ..core.constants import NUM_BASE_COLORS, TYPE_BALL, TYPE_BOX, TYPE_KEY
+        kinds = jnp.asarray(
+            [TYPE_BALL, TYPE_KEY, TYPE_BOX], dtype=jnp.int32)
+        keys = jax.random.split(key, 4 * num_distractors)
+        geom = self.geometry
+        for d in range(num_distractors):
+            kind = kinds[jax.random.randint(keys[4 * d], (), 0, 3)]
+            color = jax.random.randint(
+                keys[4 * d + 1], (), 0, NUM_BASE_COLORS, dtype=jnp.int32)
+            # Random room drawn on device; rectangle mask built from the draw.
+            room = jax.random.randint(
+                keys[4 * d + 2], (2,), 0,
+                jnp.asarray([geom.num_cols, geom.num_rows]), dtype=jnp.int32)
+            rs = geom.room_size
+            top = room * (rs - 1)
+            enc = jnp.stack([kind, color, jnp.zeros((), jnp.int32)])
+            state, _ = place_object_device(
+                state, keys[4 * d + 3], enc,
+                top=(top[0], top[1]), size=(rs, rs), reject_next_to=True)
+        return state
+
     # ----------------------------------------------------------- parity side
 
     def _parity_init(self) -> dict:

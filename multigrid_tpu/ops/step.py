@@ -309,7 +309,13 @@ def handle_actions(
         )
         return (st, rew), None
 
-    (state, rewards), _ = jax.lax.scan(substep, (state, rewards), order)
+    # Fully unrolled over the (small, static) agent count: unrolling lets XLA
+    # fuse the one-hot reads/writes across sub-steps instead of paying a
+    # device-loop iteration per agent.
+    carry = (state, rewards)
+    for t in range(n):
+        carry, _ = substep(carry, order[t])
+    state, rewards = carry
     return state, rewards
 
 
