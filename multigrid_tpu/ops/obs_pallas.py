@@ -50,7 +50,7 @@ from ..core.state import MultiGridState
 from .obs import get_view_exts
 
 #: Env-block width (lanes per kernel invocation).
-_BLOCK = 256
+_BLOCK = 512
 
 _WALL_PACKED = (
     (int(WALL_ENCODING[0]) << 8)
