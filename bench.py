@@ -28,13 +28,17 @@ def main() -> None:
     parser.add_argument('--num-envs', type=int, default=4096)
     parser.add_argument('--steps', type=int, default=256)
     parser.add_argument('--repeats', type=int, default=3)
+    parser.add_argument('--mesh', action='store_true',
+                        help='shard the env batch over all local devices '
+                             '(weak-scaling mode)')
     args = parser.parse_args()
 
     from multigrid_tpu.envs import make
-    from multigrid_tpu.parallel import VectorEnv
+    from multigrid_tpu.parallel import VectorEnv, make_mesh
 
     env = make(args.env_id, agents=args.agents)
-    venv = VectorEnv(env, args.num_envs)
+    mesh = make_mesh() if args.mesh else None
+    venv = VectorEnv(env, args.num_envs, mesh=mesh)
 
     key = jax.random.key(0)
     _, state = venv.reset(key)

@@ -62,15 +62,13 @@ class VectorEnv:
         self.mesh = mesh
         self._sharding = env_sharding(mesh) if mesh is not None else None
         if use_pallas_obs is None:
-            # The fused kernel requires a TPU backend and a block-divisible
-            # env batch; per-shard batches must stay divisible too.
-            # Multi-device meshes route through the XLA path until the
-            # kernel is wrapped in shard_map (single-chip covers the bench).
-            single = mesh is None or mesh.devices.size == 1
+            # The fused kernel requires a TPU backend and block-divisible
+            # per-shard env batches (under a mesh it runs inside shard_map,
+            # one kernel per chip over the local shard).
+            shards = mesh.devices.size if mesh is not None else 1
             use_pallas_obs = (
                 jax.default_backend() not in ('cpu', 'gpu')
-                and single
-                and num_envs % 128 == 0
+                and num_envs % (128 * shards) == 0
             )
         self.use_pallas_obs = use_pallas_obs
 
@@ -145,17 +143,33 @@ class VectorEnv:
         obs = jax.vmap(self.env.transform_obs)(obs, obs_state)
         return self._constrain((obs, new_state, rew, term, trunc, done))
 
-    def _gen_obs_batched(self, state: MultiGridState):
+    def _gen_obs_batched(self, state: MultiGridState, interpret: bool = False):
         """Raw observations for a batched state — fused Pallas kernel on TPU,
         vmapped XLA path elsewhere (bit-identical; tests/test_obs_pallas.py).
+
+        Under a mesh the kernel runs inside ``shard_map`` over the env axis:
+        one kernel invocation per chip on its local shard, zero cross-chip
+        communication.
         """
         cfg = self.env.cfg
-        if self.use_pallas_obs:
+        if self.use_pallas_obs or interpret:
             from ..ops.obs_pallas import gen_obs_batched_pallas
-            image = gen_obs_batched_pallas(
-                state, cfg.view_size, cfg.see_through_walls
-            )
-            return {'image': image, 'direction': state.agent_dir}
+
+            def kernel_fn(s):
+                image = gen_obs_batched_pallas(
+                    s, cfg.view_size, cfg.see_through_walls,
+                    interpret=interpret,
+                )
+                return {'image': image, 'direction': s.agent_dir}
+
+            if self.mesh is not None:
+                from jax.sharding import PartitionSpec as P
+                kernel_fn = jax.shard_map(
+                    kernel_fn, mesh=self.mesh,
+                    in_specs=P('env'), out_specs=P('env'),
+                    check_vma=False,
+                )
+            return kernel_fn(state)
         return jax.vmap(lambda s: gen_obs(cfg, s))(state)
 
     @functools.partial(jax.jit, static_argnums=0)
