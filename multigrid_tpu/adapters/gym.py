@@ -191,6 +191,13 @@ class GymAdapter(gym.Env):
             pygame.quit()
             self._window = None
 
+    def __str__(self):
+        """ASCII map of the current state (reference base.py pretty-print)."""
+        if self._state is None:
+            return repr(self)
+        from ..utils.pprint import state_to_string
+        return state_to_string(self._state)
+
 
 def register_gymnasium_envs() -> None:
     """Register all configurations with Gymnasium
