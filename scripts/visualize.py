@@ -13,10 +13,14 @@ python scripts/visualize.py --env MultiGrid-BlockedUnlockPickup-v0 --gif bup
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def parse_args() -> argparse.Namespace:
