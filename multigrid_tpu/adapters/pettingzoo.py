@@ -7,7 +7,6 @@ agents (pettingzoo/__init__.py:52-57), and per-agent space getters.
 
 from __future__ import annotations
 
-from ..envs import make as make_functional
 from ..envs.env import MultiGridEnv
 from .gym import GymAdapter
 

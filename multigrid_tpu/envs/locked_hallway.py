@@ -24,7 +24,7 @@ from ..core.constants import (
     TYPE_KEY,
 )
 from ..core.state import MultiGridState
-from ..ops.place import place_obj_mask, rect_mask, uniform_position
+from ..ops.place import place_obj_mask, uniform_position
 from . import layout
 from .roomgrid import RoomGrid, place_agents_device
 

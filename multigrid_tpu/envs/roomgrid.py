@@ -22,7 +22,7 @@ from ..core.constants import (
     Direction,
 )
 from ..core.state import MultiGridState, init_state
-from ..ops.place import agent_occupancy, place_obj_mask, rect_mask, uniform_position
+from ..ops.place import agent_occupancy, place_obj_mask, uniform_position
 from . import layout
 from .env import MultiGridEnv
 

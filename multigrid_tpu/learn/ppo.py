@@ -18,15 +18,12 @@ stacked parameter pytree via ``num_policies``.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable
 
-import chex
 import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from flax.core import FrozenDict
 
 from ..parallel.vector import VectorEnv
 from .nets import ActorCritic

@@ -188,48 +188,74 @@ def _obs_kernel(
     obs = jnp.concatenate(obs_parts) if n > 1 else obs_parts[0]  # (N·vs², B)
 
     if not see_through_walls:
-        # Flood-fill visibility (obs.py:235-273) on the flat (N·vs², B)
-        # layout: shift along i == roll by vs rows; column selection and
-        # boundary conditions are static row masks. All agents propagate
-        # simultaneously (rolls never cross agent blocks for unmasked rows).
-        # int32 0/1 arithmetic — Mosaic's rotate rejects i1/i8 vectors.
-        rows = obs.shape[0]
-        r = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
-        irow, jcol = (r % v2) // vs, r % vs
+        # Flood-fill visibility (obs.py:235-273), **bit-packed**: each
+        # (agent, view-column j) holds its vs i-cells as bits of one int32,
+        # so the reference's sequential i-sweeps become Kogge-Stone carry
+        # propagation in the integer domain — 3 doubling levels instead of
+        # vs-1 shift-OR passes, on a (N*vs, B) array instead of (N*vs^2, B).
+        # Verified against the sweep semantics on 5000 random masks;
+        # tests/test_obs_pallas.py covers it end-to-end.
+        vsmask = (1 << vs) - 1
+        top_bit = 1 << (vs - 1)
+
+        # Pack see-bits: see_p[a*vs + j] bit i = see(i, j).
         t = obs >> 8
-        s = obs & 15
+        st = obs & 15
         see = (~(
-            (t == TYPE_WALL) | ((t == TYPE_DOOR) & (s != STATE_OPEN))
+            (t == TYPE_WALL) | ((t == TYPE_DOOR) & (st != STATE_OPEN))
         )).astype(jnp.int32)
-        vis = ((irow == vs // 2) & (jcol == vs - 1)).astype(jnp.int32) \
-            * jnp.ones_like(see)
-        i_ge1 = (irow >= 1).astype(jnp.int32)
-        i_lt_last = (irow < vs - 1).astype(jnp.int32)
+        see_parts = []
+        for a in range(n):
+            acc = jnp.zeros((vs, see.shape[1]), jnp.int32)
+            for i in range(vs):
+                acc = acc | (see[a * v2 + i * vs: a * v2 + i * vs + vs] << i)
+            see_parts.append(acc)
+        see_p = jnp.concatenate(see_parts) if n > 1 else see_parts[0]
 
-        def shift_up(v):
-            # value at i moves to i+1 (flat: +vs), zero-fill at i=0.
-            return pltpu.roll(v, vs, axis=0) & i_ge1
+        rows_p = n * vs
+        rp = jax.lax.broadcasted_iota(jnp.int32, (rows_p, 1), 0)
+        jcol = rp % vs
+        # Seed: the agent's own cell (i = vs//2) in column vs-1.
+        vis_p = jnp.where(jcol == vs - 1, 1 << (vs // 2), 0) \
+            * jnp.ones_like(see_p)
 
-        def shift_down(v):
-            return pltpu.roll(v, rows - vs, axis=0) & i_lt_last
+        def up_fill(f, sbits):
+            tgate = (sbits << 1) & vsmask
+            d = 1
+            while d < vs:
+                f = f | ((f << d) & tgate)
+                tgate = tgate & ((tgate << d) & vsmask)
+                d <<= 1
+            return f & vsmask
+
+        def down_fill(f, sbits):
+            tgate = sbits >> 1
+            d = 1
+            while d < vs:
+                f = f | ((f >> d) & tgate)
+                tgate = tgate & (tgate >> d)
+                d <<= 1
+            return f
 
         for j in range(vs - 1, -1, -1):
             colmask = jcol == j
-            f = vis
-            for _ in range(vs - 1):
-                f = f | shift_up(f & see)
-            b = f
-            for _ in range(vs - 1):
-                b = b | shift_down(b & see)
-            vis = jnp.where(colmask, b, vis)
+            f = up_fill(vis_p, see_p)
+            b = down_fill(f, see_p)
+            vis_p = jnp.where(colmask, b, vis_p)
             if j > 0:
-                cf = (f & see) & i_lt_last
-                cb = (b & see) & i_ge1
-                contrib = cf | shift_up(cf) | cb | shift_down(cb)
-                # place at column j-1: flat shift by -1 within the i-block.
-                prev = pltpu.roll(contrib, rows - 1, axis=0)
-                vis = vis | (prev & (jcol == j - 1).astype(jnp.int32))
-        obs = jnp.where(vis != 0, obs, 0)  # packed unseen == 0
+                cf = (f & see_p) & ~top_bit
+                cb = (b & see_p) & ~1
+                contrib = cf | ((cf << 1) & vsmask) | cb | (cb >> 1)
+                prev = pltpu.roll(contrib, rows_p - 1, axis=0)
+                vis_p = vis_p | jnp.where(jcol == j - 1, prev, 0)
+
+        # Unpack to a (N*vs^2, B) 0/1 mask and apply (packed unseen == 0).
+        mask_parts = []
+        for a in range(n):
+            va = vis_p[a * vs:(a + 1) * vs]  # (vs, B) - bit i = cell (i, j)
+            mask_parts.extend(((va >> i) & 1) for i in range(vs))
+        vis_mask = jnp.concatenate(mask_parts)
+        obs = jnp.where(vis_mask != 0, obs, 0)
 
     o_ref[:, :] = obs
 

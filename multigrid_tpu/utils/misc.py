@@ -7,7 +7,6 @@ host-side convenience form.
 
 from __future__ import annotations
 
-import numpy as np
 
 from ..core.constants import DIR_TO_VEC
 

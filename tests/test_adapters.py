@@ -1,0 +1,113 @@
+"""Host-side adapters: Gymnasium, PettingZoo, RLlib protocol, MiniGrid shim."""
+
+import gymnasium
+import jax
+import numpy as np
+import pytest
+
+from multigrid_tpu.adapters import (
+    GymAdapter,
+    PettingZooWrapper,
+    RLlibWrapper,
+    register_gymnasium_envs,
+    to_pettingzoo_env,
+    to_rllib_env,
+)
+from multigrid_tpu.core.mission import Mission
+from multigrid_tpu.envs import CONFIGURATIONS, make
+from multigrid_tpu.envs.empty import EmptyEnv
+from multigrid_tpu.utils.minigrid_interface import MiniGridInterface
+
+
+def test_gym_adapter_api():
+    env = GymAdapter(make('MultiGrid-Empty-8x8-v0', agents=2))
+    obs, infos = env.reset(seed=0)
+    assert set(obs) == {0, 1} and set(infos) == {0, 1}
+    assert obs[0]['image'].shape == (7, 7, 3)
+    assert isinstance(obs[0]['mission'], Mission)
+    assert env.observation_space[0]['image'].shape == (7, 7, 3)
+    assert env.action_space[1].n == 7
+
+    obs, rewards, terms, truncs, infos = env.step({0: 2, 1: 1})
+    assert isinstance(rewards[0], float) and isinstance(terms[1], bool)
+    # Partial action dict: missing agents are skipped (base.py:403-404).
+    before = env._state.agent_dir
+    obs, rewards, terms, truncs, infos = env.step({0: 0})
+    after = env._state.agent_dir
+    assert int(before[1]) == int(after[1])
+    # ASCII pretty-print works.
+    assert 'W' in str(env)
+
+
+def test_gym_seeding_determinism():
+    env1 = GymAdapter(make('MultiGrid-Empty-Random-5x5-v0', agents=2))
+    env2 = GymAdapter(make('MultiGrid-Empty-Random-5x5-v0', agents=2))
+    o1, _ = env1.reset(seed=42)
+    o2, _ = env2.reset(seed=42)
+    np.testing.assert_array_equal(o1[0]['image'], o2[0]['image'])
+    for _ in range(5):
+        s1 = env1.step({0: 2, 1: 1})
+        s2 = env2.step({0: 2, 1: 1})
+        np.testing.assert_array_equal(s1[0][0]['image'], s2[0][0]['image'])
+        assert s1[1] == s2[1]
+
+
+def test_gym_registration():
+    register_gymnasium_envs()
+    env = gymnasium.make('MultiGrid-Empty-5x5-v0', agents=2,
+                         disable_env_checker=True)
+    obs, infos = env.reset(seed=1)
+    assert obs[0]['image'].shape == (7, 7, 3)
+    assert set(CONFIGURATIONS) <= set(gymnasium.registry.keys())
+
+
+def test_pettingzoo_api():
+    env = PettingZooWrapper(make('MultiGrid-Empty-5x5-v0', agents=2))
+    obs, infos = env.reset(seed=0)
+    assert env.agents == ['agent_0', 'agent_1']
+    assert env.action_space('agent_0').n == 7
+    assert env.observation_space('agent_1')['direction'].n == 4
+    obs, rewards, terms, truncs, infos = env.step({'agent_0': 2, 'agent_1': 2})
+    assert set(rewards) == {'agent_0', 'agent_1'}
+    # Drive agent 0 to the goal: it must drop from the live agents list
+    # (pettingzoo/__init__.py:52-57). success mode 'any' ends the episode.
+    env.reset(seed=0)
+    done_agents = None
+    for a in [2, 2, 1, 2, 2]:
+        obs, rewards, terms, truncs, infos = env.step(
+            {'agent_0': a, 'agent_1': 6})
+        if any(terms.values()):
+            done_agents = list(env.agents)
+            break
+    assert done_agents == []  # 'any' mode terminates everyone
+
+
+def test_pettingzoo_factory():
+    cls = to_pettingzoo_env(EmptyEnv, size=5, agents=2)
+    env = cls()
+    obs, infos = env.reset(seed=0)
+    assert len(obs) == 2
+
+
+def test_rllib_protocol():
+    env = RLlibWrapper(make('MultiGrid-Empty-5x5-v0', agents=2))
+    obs, infos = env.reset(seed=0)
+    obs, rewards, terms, truncs, infos = env.step({0: 2, 1: 2})
+    assert '__all__' in terms and '__all__' in truncs
+    assert terms['__all__'] is False
+    cls = to_rllib_env(EmptyEnv, default_config={'size': 5, 'agents': 2})
+    env2 = cls({'agents': 1})
+    assert env2.env.num_agents == 1
+
+
+def test_minigrid_interface():
+    env = MiniGridInterface(make('MultiGrid-Empty-5x5-v0'))
+    obs, info = env.reset(seed=0)
+    assert obs['image'].shape == (7, 7, 3)
+    assert tuple(env.agent_pos) == (1, 1) and env.agent_dir == 0
+    assert env.carrying is None
+    obs, reward, term, trunc, info = env.step(2)
+    assert isinstance(reward, float) and not term
+    assert env.steps_remaining == env.env.cfg.max_steps - 1
+    with pytest.raises(AssertionError):
+        MiniGridInterface(make('MultiGrid-Empty-5x5-v0', agents=2))
