@@ -30,32 +30,48 @@ def one_hot_image(image: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
 
 
 class ActorCritic(nn.Module):
-    """CNN encoder + categorical actor + value critic.
+    """Encoder + categorical actor + value critic.
 
     Inputs are a single agent's observation dict pieces; batching over agents
     and envs is the caller's ``vmap``/leading-axes concern.
+
+    Encoders:
+
+    * ``'cnn'`` (default) — the reference example's architecture: 3×Conv+ReLU
+      over one-hot feature planes with (cos, sin) direction channels
+      (multigrid/scripts/train.py:56-83).
+    * ``'mlp'`` — TPU-throughput encoder: the same one-hot features flattened
+      into one wide Dense layer. 3×3 convs on 7×7 inputs utilize a fraction
+      of the MXU; one (batch, 1031)×(1031, hidden) matmul runs ~an order of
+      magnitude faster at equal parameter scale.
     """
 
     num_actions: int = 7
     hidden: int = 128
+    encoder: str = 'cnn'
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, image: jax.Array, direction: jax.Array):
         x = one_hot_image(image, self.dtype)
-        # Direction as constant (cos, sin) feature planes
-        # (scripts/train.py:56-63).
         theta = direction.astype(self.dtype) * (jnp.pi / 2)
-        dir_planes = jnp.stack([jnp.cos(theta), jnp.sin(theta)], axis=-1)
-        dir_planes = jnp.broadcast_to(
-            dir_planes[..., None, None, :], x.shape[:-1] + (2,)
-        )
-        x = jnp.concatenate([x, dir_planes], axis=-1)
+        dir_feats = jnp.stack([jnp.cos(theta), jnp.sin(theta)], axis=-1)
 
-        for feat in (16, 32, 64):
-            x = nn.Conv(feat, (3, 3), padding='VALID', dtype=self.dtype)(x)
-            x = nn.relu(x)
-        x = x.reshape(x.shape[:-3] + (-1,))
+        if self.encoder == 'cnn':
+            # Direction as constant feature planes (scripts/train.py:56-63).
+            dir_planes = jnp.broadcast_to(
+                dir_feats[..., None, None, :], x.shape[:-1] + (2,)
+            )
+            x = jnp.concatenate([x, dir_planes], axis=-1)
+            for feat in (16, 32, 64):
+                x = nn.Conv(feat, (3, 3), padding='VALID', dtype=self.dtype)(x)
+                x = nn.relu(x)
+            x = x.reshape(x.shape[:-3] + (-1,))
+        else:
+            x = jnp.concatenate(
+                [x.reshape(x.shape[:-3] + (-1,)), dir_feats], axis=-1
+            )
+            x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype)(x))
         # The wide dense layer is the natural tensor-parallel shard point;
         # the training step constrains its output over the 'model' mesh axis.
         x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype)(x))

@@ -53,6 +53,9 @@ def parse_args() -> argparse.Namespace:
     p.add_argument('--gamma', type=float, default=0.99)
     p.add_argument('--ent-coef', type=float, default=0.01)
     p.add_argument('--hidden', type=int, default=128)
+    p.add_argument('--encoder', default='cnn', choices=['cnn', 'mlp'],
+                   help="'cnn' matches the reference example; 'mlp' is the "
+                        'TPU-throughput encoder')
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--save-dir', default='checkpoints',
                    help='checkpoint directory (saved every --save-interval '
@@ -82,7 +85,7 @@ def train(args: argparse.Namespace) -> None:
         rollout_steps=args.rollout_steps, lr=args.lr, gamma=args.gamma,
         ent_coef=args.ent_coef, epochs=args.epochs,
     )
-    net = ActorCritic(hidden=args.hidden)
+    net = ActorCritic(hidden=args.hidden, encoder=args.encoder)
     state, net, config, tx = ppo_init(
         venv, jax.random.key(args.seed), net=net, config=config)
 
