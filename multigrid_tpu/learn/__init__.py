@@ -9,9 +9,16 @@ may additionally shard over ``'model'``.
 """
 
 from .nets import ActorCritic
-from .ppo import PPOConfig, Rollout, TrainState, make_train_step, ppo_init
+from .ppo import (
+    PPOConfig,
+    Rollout,
+    TrainState,
+    make_train_loop,
+    make_train_step,
+    ppo_init,
+)
 
 __all__ = [
-    'ActorCritic', 'PPOConfig', 'Rollout', 'TrainState', 'make_train_step',
-    'ppo_init',
+    'ActorCritic', 'PPOConfig', 'Rollout', 'TrainState', 'make_train_loop',
+    'make_train_step', 'ppo_init',
 ]

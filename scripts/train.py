@@ -56,6 +56,9 @@ def parse_args() -> argparse.Namespace:
     p.add_argument('--encoder', default='cnn', choices=['cnn', 'mlp'],
                    help="'cnn' matches the reference example; 'mlp' is the "
                         'TPU-throughput encoder')
+    p.add_argument('--updates-per-call', type=int, default=1,
+                   help='PPO updates fused per jitted call (amortizes '
+                        'dispatch overhead on remote TPU backends)')
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--save-dir', default='checkpoints',
                    help='checkpoint directory (saved every --save-interval '
@@ -72,7 +75,8 @@ def parse_args() -> argparse.Namespace:
 
 def train(args: argparse.Namespace) -> None:
     from multigrid_tpu.envs import make
-    from multigrid_tpu.learn import ActorCritic, PPOConfig, make_train_step, ppo_init
+    from multigrid_tpu.learn import (
+        ActorCritic, PPOConfig, make_train_loop, make_train_step, ppo_init)
     from multigrid_tpu.parallel import VectorEnv, make_mesh
     from multigrid_tpu.utils.checkpoint import (
         latest_checkpoint, restore_checkpoint, save_checkpoint)
@@ -95,8 +99,13 @@ def train(args: argparse.Namespace) -> None:
             state = restore_checkpoint(ckpt, state)
             print(f'resumed from {ckpt} (update {int(state.update_count)})')
 
-    train_step = make_train_step(venv, net, config, tx)
-    steps_per_update = args.num_envs * args.num_agents * config.rollout_steps
+    upc = max(1, args.updates_per_call)
+    if upc > 1:
+        train_step = make_train_loop(venv, net, config, tx, upc)
+    else:
+        train_step = make_train_step(venv, net, config, tx)
+    steps_per_update = (
+        args.num_envs * args.num_agents * config.rollout_steps * upc)
     num_updates = max(1, args.num_timesteps // steps_per_update)
     timer = PhaseTimer()
 
@@ -106,7 +115,7 @@ def train(args: argparse.Namespace) -> None:
 
     log_f = open(args.log_jsonl, 'a') if args.log_jsonl else None
     t_start = time.perf_counter()
-    for update in range(int(state.update_count), num_updates):
+    for update in range(int(state.update_count) // upc, num_updates):
         with timer.phase('update'):
             state, metrics = train_step(state)
             force_completion(metrics)

@@ -21,6 +21,23 @@ import jax  # noqa: E402
 jax.config.update('jax_platforms', 'cpu')
 
 # Persistent compilation cache: amortizes jit compiles across test runs.
-_CACHE_DIR = os.path.join(os.path.dirname(__file__), '..', '.jax_cache')
+# The cache key includes a host-CPU fingerprint: XLA:CPU AOT artifacts are
+# machine-feature-specific, and loading a cache written on a different
+# machine can SIGILL mid-test-run.
+
+
+def _cpu_fingerprint() -> str:
+    import hashlib
+    try:
+        with open('/proc/cpuinfo') as f:
+            flags = next(
+                (line for line in f if line.startswith('flags')), '')
+    except OSError:
+        flags = ''
+    return hashlib.sha1(flags.encode()).hexdigest()[:12]
+
+
+_CACHE_DIR = os.path.join(
+    os.path.dirname(__file__), '..', '.jax_cache', _cpu_fingerprint())
 jax.config.update('jax_compilation_cache_dir', os.path.abspath(_CACHE_DIR))
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.2)
