@@ -103,6 +103,7 @@ def _obs_kernel(
     see_through_walls: bool,
 ):
     n = num_agents
+    stride = (hp + 7) // 8 * 8
     nbits_x = max(1, (wp - 1).bit_length())
     nbits_y = max(1, (hp - 1).bit_length())
     v2 = vs * vs
@@ -121,26 +122,27 @@ def _obs_kernel(
     def crop_chain(a):
         sx = meta_ref[a, :]
         v = g_ref[:, :]
-        # x-chain: shift so row sx*hp lands at 0; high bit first, shrinking
-        # the working slab each pass (remaining shift < 2^k).
+        # x-chain: shift so row sx*stride lands at 0; high bit first,
+        # shrinking the working slab each pass (remaining shift < 2^k).
+        # Shifts are whole sublane tiles (stride % 8 == 0): register moves.
         for k in reversed(range(nbits_x)):
-            v = pshift(v, (1 << k) * hp, lane_bits(sx, k))
-            keep = min(v.shape[0] // hp, (1 << k) - 1 + vs) * hp
+            v = pshift(v, (1 << k) * stride, lane_bits(sx, k))
+            keep = min(v.shape[0] // stride, (1 << k) - 1 + vs) * stride
             v = v[:keep]
-        return v[:vs * hp]
+        return v[:vs * stride]
 
     slabs = [crop_chain(a) for a in range(n)]
 
     # --- y-chain: one stacked chain for all agents --------------------------
     # Kept columns [0, vs) of each hp-row pull only from within the same row
     # for shifts < hp, so rolling the agent-stacked slab is safe.
-    stack = jnp.concatenate(slabs) if n > 1 else slabs[0]  # (N*vs*hp, B)
+    stack = jnp.concatenate(slabs) if n > 1 else slabs[0]  # (N*vs*stride, B)
     sy_rows = jnp.concatenate([
         jnp.broadcast_to(meta_ref[n + a, :].reshape(1, -1),
-                         (vs * hp, stack.shape[1]))
+                         (vs * stride, stack.shape[1]))
         for a in range(n)
     ]) if n > 1 else jnp.broadcast_to(
-        meta_ref[n, :].reshape(1, -1), (vs * hp, stack.shape[1]))
+        meta_ref[n, :].reshape(1, -1), (vs * stride, stack.shape[1]))
     for k in reversed(range(nbits_y)):
         bit = ((sy_rows >> k) & 1) != 0
         rolled = pltpu.roll(stack, stack.shape[0] - (1 << k), axis=0)
@@ -158,7 +160,8 @@ def _obs_kernel(
     obs_parts = []
     for a in range(n):
         win = jnp.concatenate([
-            stack[a * vs * hp + u * hp: a * vs * hp + u * hp + vs]
+            stack[a * vs * stride + u * stride:
+                  a * vs * stride + u * stride + vs]
             for u in range(vs)
         ])  # (vs², B) packed, world orientation
         hi = (win >> 8).astype(jnp.bfloat16)
@@ -260,21 +263,31 @@ def _obs_kernel(
     o_ref[:, :] = obs
 
 
+def _row_stride(h: int, vs: int) -> int:
+    """Padded row stride: hp rounded up to a sublane tile (8) so the kernel's
+    x-chain rolls are whole-tile moves instead of lane-crossing shuffles."""
+    hp = h + 2 * vs
+    return (hp + 7) // 8 * 8
+
+
 def _pad_packed(plane_t: jax.Array, w: int, h: int, vs: int) -> jax.Array:
-    """(w*h, E) packed cell-major plane → (wp*hp, E) wall-padded plane.
+    """(w*h, E) packed cell-major plane → (wp*stride, E) wall-padded plane.
 
     Static concatenation only (no scatters): wall slabs around and between
-    the grid's row-blocks.
+    the grid's row-blocks; extra stride columns are wall (never selected —
+    the y-shift keeps sy + vs - 1 < hp).
     """
     e = plane_t.shape[-1]
-    hp = h + 2 * vs
-    wallrow = jnp.full((vs * hp, e), _WALL_PACKED, dtype=plane_t.dtype)
-    wallseg = jnp.full((vs, e), _WALL_PACKED, dtype=plane_t.dtype)
+    stride = _row_stride(h, vs)
+    wallrow = jnp.full((vs * stride, e), _WALL_PACKED, dtype=plane_t.dtype)
+    pad_pre = jnp.full((vs, e), _WALL_PACKED, dtype=plane_t.dtype)
+    pad_post = jnp.full(
+        (stride - h - vs, e), _WALL_PACKED, dtype=plane_t.dtype)
     pieces = [wallrow]
     for x in range(w):
-        pieces.append(wallseg)
+        pieces.append(pad_pre)
         pieces.append(plane_t[x * h:(x + 1) * h])
-        pieces.append(wallseg)
+        pieces.append(pad_post)
     pieces.append(wallrow)
     return jnp.concatenate(pieces)
 
@@ -321,7 +334,8 @@ def gen_obs_batched_pallas(
             ).reshape(-1, 1, 1)
             packed = jnp.where(m, enc, packed)
 
-    plane = _pad_packed(packed.reshape(e, w * h).T, w, h, vs)  # (wp*hp, E)
+    plane = _pad_packed(packed.reshape(e, w * h).T, w, h, vs)
+    stride = _row_stride(h, vs)
 
     top_x, top_y = get_view_exts(state.agent_dir, state.agent_pos, vs)
     carry_packed = _pack(
@@ -349,7 +363,7 @@ def gen_obs_batched_pallas(
         in_specs=[
             pl.BlockSpec((4 * n, block), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((wp * hp, block), lambda i: (0, i),
+            pl.BlockSpec((wp * stride, block), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((n * v2, block), lambda i: (0, i),
