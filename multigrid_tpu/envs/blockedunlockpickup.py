@@ -23,6 +23,7 @@ from ..core.constants import (
 from ..core.state import MultiGridState
 from ..ops.step import apply_success
 from . import layout
+from ..ops.place import set_cell
 from .roomgrid import RoomGrid, place_agents_device, place_object_device
 
 
@@ -91,11 +92,13 @@ class BlockedUnlockPickupEnv(RoomGrid):
         door_y = jax.random.randint(keys[3], (), lo, hi, dtype=jnp.int32)
         door_enc = jnp.stack(
             [jnp.int32(TYPE_DOOR), door_color, jnp.int32(STATE_LOCKED)])
-        grid = state.grid.at[door_x, door_y].set(door_enc)
+        door_pos = jnp.stack([jnp.int32(door_x), door_y])
+        grid = set_cell(state.grid, door_pos, door_enc)
 
         # Blocking ball (random color) directly left of the door.
         ball_color = jax.random.randint(keys[4], (), 0, 6, dtype=jnp.int32)
-        grid = grid.at[door_x - 1, door_y].set(
+        grid = set_cell(
+            grid, jnp.stack([jnp.int32(door_x - 1), door_y]),
             jnp.stack([jnp.int32(TYPE_BALL), ball_color, jnp.int32(0)]))
         state = state.replace(grid=grid)
 

@@ -24,7 +24,7 @@ from ..core.constants import (
     TYPE_KEY,
 )
 from ..core.state import MultiGridState
-from ..ops.place import place_obj_mask, uniform_position
+from ..ops.place import place_obj_mask, set_cell, uniform_position
 from . import layout
 from .roomgrid import RoomGrid, place_agents_device
 
@@ -158,7 +158,8 @@ class LockedHallwayEnv(RoomGrid):
             size = jnp.where(in_hallway, hall_size, room_shape)
             valid = place_obj_mask(state.grid, state.agent_pos, top, size)
             pos = uniform_position(place_keys[k], valid)
-            state = state.replace(grid=state.grid.at[pos[0], pos[1]].set(
+            state = state.replace(grid=set_cell(
+                state.grid, pos,
                 jnp.stack([jnp.int32(TYPE_KEY), color_sequence[k],
                            jnp.int32(0)])))
             remaining = jnp.where(in_hallway, remaining, remaining - 1)

@@ -19,7 +19,7 @@ from ..core.constants import (
     TYPE_KEY,
 )
 from ..core.state import MultiGridState
-from ..ops.place import place_obj_mask
+from ..ops.place import place_obj_mask, set_cell
 from . import layout
 from .roomgrid import (
     RoomGrid,
@@ -127,7 +127,7 @@ class PlaygroundEnv(RoomGrid):
             door_enc = jnp.stack(
                 [jnp.int32(TYPE_DOOR), color, jnp.int32(STATE_CLOSED)])
             cur = grid[pos[0], pos[1]]
-            grid = grid.at[pos[0], pos[1]].set(jnp.where(ok, door_enc, cur))
+            grid = set_cell(grid, pos, jnp.where(ok, door_enc, cur))
             # Register the door on both sides of the wall.
             ncol = col + dvec[d, 0]
             nrow = row + dvec[d, 1]
@@ -169,7 +169,7 @@ class PlaygroundEnv(RoomGrid):
             valid = valid & ~next_to_agent_mask(
                 state.agent_pos, cfg.width, cfg.height)
             pos = uniform_position(kp, valid)
-            state = state.replace(grid=state.grid.at[pos[0], pos[1]].set(
+            state = state.replace(grid=set_cell(state.grid, pos, 
                 jnp.stack([kind, color, jnp.int32(0)])))
 
         # Agents: random room, then uniform valid (pos, dir) with the

@@ -20,6 +20,7 @@ from ..core.constants import (
     STATE_OPEN,
 )
 from ..core.state import MultiGridState, init_state
+from ..ops.place import set_cell
 from ..ops.step import apply_failure, apply_success
 from . import layout
 from .env import MultiGridEnv
@@ -79,10 +80,10 @@ class RedBlueDoorsEnv(MultiGridEnv):
         blue_y = jax.random.randint(k_blue, (), 1, cfg.height - 1, dtype=jnp.int32)
         red_pos = jnp.stack([jnp.int32(self._red_x), red_y])
         blue_pos = jnp.stack([jnp.int32(self._blue_x), blue_y])
-        grid = state.grid.at[red_pos[0], red_pos[1]].set(
-            jnp.asarray(layout.door(COLOR_RED, STATE_CLOSED)))
-        grid = grid.at[blue_pos[0], blue_pos[1]].set(
-            jnp.asarray(layout.door(COLOR_BLUE, STATE_CLOSED)))
+        grid = set_cell(
+            state.grid, red_pos, layout.door(COLOR_RED, STATE_CLOSED))
+        grid = set_cell(
+            grid, blue_pos, layout.door(COLOR_BLUE, STATE_CLOSED))
         return state.replace(
             grid=grid, extras={'red_pos': red_pos, 'blue_pos': blue_pos})
 

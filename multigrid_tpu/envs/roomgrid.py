@@ -22,7 +22,12 @@ from ..core.constants import (
     Direction,
 )
 from ..core.state import MultiGridState, init_state
-from ..ops.place import agent_occupancy, place_obj_mask, uniform_position
+from ..ops.place import (
+    agent_occupancy,
+    place_obj_mask,
+    set_cell,
+    uniform_position,
+)
 from . import layout
 from .env import MultiGridEnv
 
@@ -226,7 +231,7 @@ def place_object_device(
     if reject_next_to:
         valid = valid & ~next_to_agent_mask(state.agent_pos, cfg_w, cfg_h)
     pos = uniform_position(key, valid)
-    grid = state.grid.at[pos[0], pos[1]].set(jnp.asarray(obj_enc, jnp.int32))
+    grid = set_cell(state.grid, pos, obj_enc)
     return state.replace(grid=grid), pos
 
 

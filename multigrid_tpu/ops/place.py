@@ -57,6 +57,21 @@ def uniform_position(key: jax.Array, valid: jax.Array) -> jax.Array:
     return jnp.stack([flat_idx // h, flat_idx % h]).astype(jnp.int32)
 
 
+def set_cell(grid: jax.Array, pos: jax.Array, enc) -> jax.Array:
+    """Write one cell encoding at a traced position WITHOUT a scatter.
+
+    ``grid.at[pos[0], pos[1]].set(...)`` with traced indices lowers to a
+    per-env scatter under vmap — ~0.4 ms/step at 4096 envs on TPU (measured).
+    A one-hot masked select is pure elementwise work.
+    """
+    w, h, _ = grid.shape
+    cx = jnp.arange(w, dtype=jnp.int32)[:, None]
+    cy = jnp.arange(h, dtype=jnp.int32)[None, :]
+    mask = ((cx == pos[0]) & (cy == pos[1]))[..., None]
+    enc = jnp.asarray(enc, dtype=grid.dtype)
+    return jnp.where(mask, enc[None, None, :], grid)
+
+
 def place_obj_mask(
     grid: jax.Array,
     agent_pos: jax.Array,

@@ -15,6 +15,7 @@ from multigrid_tpu.parallel import VectorEnv
     ('MultiGrid-Empty-8x8-v0', 2),
     ('MultiGrid-BlockedUnlockPickup-v0', 3),
     ('MultiGrid-Empty-16x16-v0', 1),
+    ('MultiGrid-LockedHallway-6Rooms-v0', 2),  # 13x25 non-square grid
 ])
 @pytest.mark.parametrize('stw', [False, True])
 def test_pallas_matches_xla(env_id, agents, stw):
@@ -33,4 +34,23 @@ def test_pallas_matches_xla(env_id, agents, stw):
         lambda s: gen_obs_grid_encoding(s, vs, stw)
     )(state)
     got = gen_obs_batched_pallas(state, vs, stw, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+@pytest.mark.parametrize('view_size', [3, 5, 9])
+def test_pallas_view_sizes(view_size):
+    """The kernel is parameterized over view size (odd, >= 3)."""
+    env = make('MultiGrid-Empty-8x8-v0', agents=2,
+               agent_view_size=view_size)
+    venv = VectorEnv(env, 8, auto_reset=True)
+    _, state = venv.reset(jax.random.key(4))
+    key = jax.random.key(5)
+    for _ in range(2):
+        key, ak = jax.random.split(key)
+        acts = jax.random.randint(ak, (8, 2), 0, 7, dtype=jnp.int32)
+        _, state, *_ = venv.step(state, acts)
+    ref = jax.vmap(
+        lambda s: gen_obs_grid_encoding(s, view_size, False)
+    )(state)
+    got = gen_obs_batched_pallas(state, view_size, False, interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
