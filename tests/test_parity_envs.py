@@ -60,3 +60,9 @@ def test_playground(seed, num_agents):
 @pytest.mark.parametrize('seed', [21])
 def test_playground_many_agents(seed):
     run_differential('MultiGrid-Playground-v0', seed, 6, num_steps=100)
+
+
+@pytest.mark.parametrize('seed', [3])
+def test_playground_large_team(seed):
+    """N > 8 exercises the scanned (non-unrolled) sub-step path."""
+    run_differential('MultiGrid-Playground-v0', seed, 10, num_steps=60)
