@@ -11,20 +11,20 @@ import pytest
 from multigrid_tpu.envs import make
 from multigrid_tpu.envs.parity import ParityRunner
 
-from .ref_loader import make_reference_env
+from .ref_loader import open_reference
 
 
 def run_differential(env_id, seed, num_agents, num_steps, **kwargs):
-    ref_env, ref_obs = make_reference_env(env_id, seed, agents=num_agents, **kwargs)
+    ref = open_reference(env_id, seed, num_agents, **kwargs)
     runner = ParityRunner(make(env_id, agents=num_agents, **kwargs), seed)
     our_obs = runner.reset()
 
-    assert_obs_equal(ref_obs, our_obs, num_agents, t='reset')
+    assert_obs_equal(ref.reset_obs, our_obs, num_agents, t='reset')
 
     action_rng = np.random.default_rng(seed + 1000)
     for t in range(num_steps):
         actions = {i: int(action_rng.integers(0, 7)) for i in range(num_agents)}
-        ref_obs, ref_rew, ref_term, ref_trunc, _ = ref_env.step(actions)
+        ref_obs, ref_rew, ref_term, ref_trunc = ref.step(actions)
         our_obs, our_rew, our_term, our_trunc, _ = runner.step(actions)
 
         assert_obs_equal(ref_obs, our_obs, num_agents, t=t)
@@ -35,6 +35,7 @@ def run_differential(env_id, seed, num_agents, num_steps, **kwargs):
 
         if all(ref_term.values()) or all(ref_trunc.values()):
             break
+    ref.finish()
 
 
 def assert_obs_equal(ref_obs, our_obs, num_agents, t):
