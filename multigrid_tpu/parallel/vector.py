@@ -64,11 +64,14 @@ class VectorEnv:
         if use_pallas_obs is None:
             # The fused kernel requires a TPU backend and block-divisible
             # per-shard env batches (under a mesh it runs inside shard_map,
-            # one kernel per chip over the local shard).
+            # one kernel per chip over the local shard). Very large teams
+            # make the unrolled kernel a Mosaic compile bomb — the XLA path
+            # handles them.
             shards = mesh.devices.size if mesh is not None else 1
             use_pallas_obs = (
                 jax.default_backend() not in ('cpu', 'gpu')
                 and num_envs % (128 * shards) == 0
+                and env.num_agents <= 8
             )
         self.use_pallas_obs = use_pallas_obs
 
