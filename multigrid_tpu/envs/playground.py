@@ -100,40 +100,53 @@ class PlaygroundEnv(RoomGrid):
             grid, doors, key, it = carry
             return ~jnp.all(reachable(doors)) & (it < max_itrs)
 
+        # All indexed accesses in the loop body are one-hot masked — under
+        # vmap a traced-index read/write lowers to a per-env gather/scatter
+        # (~0.4 ms each at 1024 envs); several per iteration × ~96 iterations
+        # dominated the whole Playground step before this.
+        ci = jnp.arange(C, dtype=jnp.int32)[:, None, None]
+        ri = jnp.arange(R, dtype=jnp.int32)[None, :, None]
+        di = jnp.arange(4, dtype=jnp.int32)[None, None, :]
+        d4 = jnp.arange(4, dtype=jnp.int32)
+        room_tops = jnp.asarray(self._room_tops)
+
         def body(carry):
             grid, doors, key, it = carry
             key, k1, k2, k3, k4, k5 = jax.random.split(key, 6)
             col = jax.random.randint(k1, (), 0, C, dtype=jnp.int32)
             row = jax.random.randint(k2, (), 0, R, dtype=jnp.int32)
             d = jax.random.randint(k3, (), 0, 4, dtype=jnp.int32)
-            ok = has_nb[col, row, d] & ~doors[col, row, d]
+            here = (ci == col) & (ri == row) & (di == d)
+            ok = jnp.any(here & has_nb) & ~jnp.any(here & doors)
 
             # Random door position on the shared wall (core/roomgrid.py:104-126)
             # and random color from the full palette (roomgrid.py:448).
             color = jax.random.randint(k4, (), 0, NUM_BASE_COLORS, jnp.int32)
             offset = jax.random.randint(k5, (), 1, rs - 1, dtype=jnp.int32)
-            top = jnp.asarray(self._room_tops)[col, row]
-            right = top[0] + rs - 1
-            bottom = top[1] + rs - 1
-            pos = jax.lax.switch(
-                d,
-                [
-                    lambda: jnp.stack([right, top[1] + offset]),
-                    lambda: jnp.stack([top[0] + offset, bottom]),
-                    lambda: jnp.stack([top[0], top[1] + offset]),
-                    lambda: jnp.stack([top[0] + offset, top[1]]),
-                ],
-            )
+            rmask = (ci[..., 0] == col) & (ri[..., 0] == row)
+            top_x = jnp.sum(jnp.where(rmask, room_tops[..., 0], 0))
+            top_y = jnp.sum(jnp.where(rmask, room_tops[..., 1], 0))
+            right = top_x + rs - 1
+            bottom = top_y + rs - 1
+            pos_by_dir = jnp.stack([
+                jnp.stack([right, top_y + offset]),
+                jnp.stack([top_x + offset, bottom]),
+                jnp.stack([top_x, top_y + offset]),
+                jnp.stack([top_x + offset, top_y]),
+            ])  # (4, 2)
+            pos = jnp.sum(
+                jnp.where((d4 == d)[:, None], pos_by_dir, 0), axis=0)
             door_enc = jnp.stack(
                 [jnp.int32(TYPE_DOOR), color, jnp.int32(STATE_CLOSED)])
-            cur = grid[pos[0], pos[1]]
-            grid = set_cell(grid, pos, jnp.where(ok, door_enc, cur))
+            gx = jnp.arange(grid.shape[0], dtype=jnp.int32)[:, None]
+            gy = jnp.arange(grid.shape[1], dtype=jnp.int32)[None, :]
+            gmask = ((gx == pos[0]) & (gy == pos[1]) & ok)[..., None]
+            grid = jnp.where(gmask, door_enc[None, None, :], grid)
             # Register the door on both sides of the wall.
-            ncol = col + dvec[d, 0]
-            nrow = row + dvec[d, 1]
-            doors = doors.at[col, row, d].set(doors[col, row, d] | ok)
-            doors = doors.at[ncol, nrow, (d + 2) % 4].set(
-                doors[ncol, nrow, (d + 2) % 4] | ok)
+            ncol = col + jnp.sum(jnp.where(d4 == d, dvec[:, 0], 0))
+            nrow = row + jnp.sum(jnp.where(d4 == d, dvec[:, 1], 0))
+            there = (ci == ncol) & (ri == nrow) & (di == (d + 2) % 4)
+            doors = doors | ((here | there) & ok)
             return grid, doors, key, it + 1
 
         doors0 = jnp.zeros((C, R, 4), dtype=jnp.bool_)
