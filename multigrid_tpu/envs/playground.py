@@ -68,17 +68,62 @@ class PlaygroundEnv(RoomGrid):
 
     # ------------------------------------------------------- device-side gen
 
+    def _slot_tables(self):
+        """Static tables for connect_all: interior walls and door slots.
+
+        Every interior wall gets an id; a door proposal maps to slot
+        ``wall_id * (room_size - 2) + (offset - 1)`` whose grid cell is a
+        static position — so accepted doors render to the grid with static
+        (free) indexed writes instead of per-env scatters.
+        """
+        geom = self.geometry
+        C, R, rs = geom.num_cols, geom.num_rows, geom.room_size
+        wall_id = np.full((C, R, 4), -1, dtype=np.int32)
+        positions = []
+        wid = 0
+        for c in range(C):
+            for r in range(R):
+                for d, (nc, nr) in ((0, (c + 1, r)), (1, (c, r + 1))):
+                    if not geom.has_neighbor(c, r, d):
+                        continue
+                    wall_id[c, r, d] = wid
+                    wall_id[nc, nr, (d + 2) % 4] = wid
+                    top = geom.room_top(c, r)
+                    for off in range(1, rs - 1):
+                        if d == 0:       # right wall
+                            positions.append((top[0] + rs - 1, top[1] + off))
+                        else:            # bottom wall
+                            positions.append((top[0] + off, top[1] + rs - 1))
+                    wid += 1
+        return wall_id, np.asarray(positions, dtype=np.int32), wid
+
     def _connect_all_device(self, grid: jax.Array, key: jax.Array,
                             max_itrs: int = 96):
         """On-device equivalent of ``connect_all`` (core/roomgrid.py:406-452):
         keep adding doors between random room pairs until every room is
-        reachable from room (0, 0). Bounded ``while_loop`` with a fixed-point
-        reachability check each iteration."""
+        reachable from room (0, 0).
+
+        Structured for TPU: the proposal loop is a ``lax.scan`` touching only
+        lattice-sized arrays ((C, R, 4) doors, per-wall-slot door values);
+        accepted doors render to the grid afterwards with static-index
+        writes. The grid never enters the loop carry — the earlier
+        while_loop formulation re-selected the full (W, H, 3) grid every
+        iteration and cost ~100× more.
+        """
         geom = self.geometry
         C, R = geom.num_cols, geom.num_rows
         rs = geom.room_size
         has_nb = jnp.asarray(self._has_neighbor)
         dvec = jnp.asarray(DIR_TO_VEC, dtype=jnp.int32)
+        wall_id_np, slot_pos, num_walls = self._slot_tables()
+        wall_id = jnp.asarray(wall_id_np)
+        offs_per_wall = rs - 2
+        num_slots = num_walls * offs_per_wall
+
+        ci = jnp.arange(C, dtype=jnp.int32)[:, None, None]
+        ri = jnp.arange(R, dtype=jnp.int32)[None, :, None]
+        di = jnp.arange(4, dtype=jnp.int32)[None, None, :]
+        slot_iota = jnp.arange(num_slots, dtype=jnp.int32)
 
         def reachable(doors):
             reach = jnp.zeros((C, R), dtype=jnp.bool_).at[0, 0].set(True)
@@ -96,62 +141,59 @@ class PlaygroundEnv(RoomGrid):
                 reach = spread
             return reach
 
-        def cond(carry):
-            grid, doors, key, it = carry
-            return ~jnp.all(reachable(doors)) & (it < max_itrs)
-
-        # All indexed accesses in the loop body are one-hot masked — under
-        # vmap a traced-index read/write lowers to a per-env gather/scatter
-        # (~0.4 ms each at 1024 envs); several per iteration × ~96 iterations
-        # dominated the whole Playground step before this.
-        ci = jnp.arange(C, dtype=jnp.int32)[:, None, None]
-        ri = jnp.arange(R, dtype=jnp.int32)[None, :, None]
-        di = jnp.arange(4, dtype=jnp.int32)[None, None, :]
-        d4 = jnp.arange(4, dtype=jnp.int32)
-        room_tops = jnp.asarray(self._room_tops)
-
-        def body(carry):
-            grid, doors, key, it = carry
-            key, k1, k2, k3, k4, k5 = jax.random.split(key, 6)
+        def body(carry, ks):
+            doors, slots, connected = carry
+            k1, k2, k3, k4, k5 = ks
             col = jax.random.randint(k1, (), 0, C, dtype=jnp.int32)
             row = jax.random.randint(k2, (), 0, R, dtype=jnp.int32)
             d = jax.random.randint(k3, (), 0, 4, dtype=jnp.int32)
-            here = (ci == col) & (ri == row) & (di == d)
-            ok = jnp.any(here & has_nb) & ~jnp.any(here & doors)
-
-            # Random door position on the shared wall (core/roomgrid.py:104-126)
-            # and random color from the full palette (roomgrid.py:448).
             color = jax.random.randint(k4, (), 0, NUM_BASE_COLORS, jnp.int32)
             offset = jax.random.randint(k5, (), 1, rs - 1, dtype=jnp.int32)
-            rmask = (ci[..., 0] == col) & (ri[..., 0] == row)
-            top_x = jnp.sum(jnp.where(rmask, room_tops[..., 0], 0))
-            top_y = jnp.sum(jnp.where(rmask, room_tops[..., 1], 0))
-            right = top_x + rs - 1
-            bottom = top_y + rs - 1
-            pos_by_dir = jnp.stack([
-                jnp.stack([right, top_y + offset]),
-                jnp.stack([top_x + offset, bottom]),
-                jnp.stack([top_x, top_y + offset]),
-                jnp.stack([top_x + offset, top_y]),
-            ])  # (4, 2)
-            pos = jnp.sum(
-                jnp.where((d4 == d)[:, None], pos_by_dir, 0), axis=0)
-            door_enc = jnp.stack(
-                [jnp.int32(TYPE_DOOR), color, jnp.int32(STATE_CLOSED)])
-            gx = jnp.arange(grid.shape[0], dtype=jnp.int32)[:, None]
-            gy = jnp.arange(grid.shape[1], dtype=jnp.int32)[None, :]
-            gmask = ((gx == pos[0]) & (gy == pos[1]) & ok)[..., None]
-            grid = jnp.where(gmask, door_enc[None, None, :], grid)
-            # Register the door on both sides of the wall.
-            ncol = col + jnp.sum(jnp.where(d4 == d, dvec[:, 0], 0))
-            nrow = row + jnp.sum(jnp.where(d4 == d, dvec[:, 1], 0))
+
+            here = (ci == col) & (ri == row) & (di == d)
+            # The while-loop form checks connectivity BEFORE each proposal.
+            ok = (
+                jnp.any(here & has_nb)
+                & ~jnp.any(here & doors)
+                & ~connected
+            )
+            wid = jnp.sum(jnp.where(here, wall_id, 0))
+            slot = wid * offs_per_wall + (offset - 1)
+            # Last write wins on slot collisions, matching the in-place
+            # overwrite order of the reference loop.
+            slots = jnp.where((slot_iota == slot) & ok, color + 1, slots)
+
+            ncol = col + jnp.sum(jnp.where(di[0, 0] == d, dvec[:, 0], 0))
+            nrow = row + jnp.sum(jnp.where(di[0, 0] == d, dvec[:, 1], 0))
             there = (ci == ncol) & (ri == nrow) & (di == (d + 2) % 4)
             doors = doors | ((here | there) & ok)
-            return grid, doors, key, it + 1
+            connected = jnp.all(reachable(doors))
+            return (doors, slots, connected), None
 
         doors0 = jnp.zeros((C, R, 4), dtype=jnp.bool_)
-        grid, doors, _, _ = jax.lax.while_loop(
-            cond, body, (grid, doors0, key, jnp.int32(0)))
+        slots0 = jnp.zeros((num_slots,), dtype=jnp.int32)  # 0 = no door
+        # Scan over raw key data (typed keys don't stack into scan xs).
+        raw = jax.random.key_data(
+            jax.random.split(key, 5 * max_itrs)).reshape(max_itrs, 5, -1)
+
+        def body_raw(carry, kraw):
+            ks = tuple(jax.random.wrap_key_data(kraw[i]) for i in range(5))
+            return body(carry, ks)
+
+        (doors, slots, _), _ = jax.lax.scan(
+            body_raw, (doors0, slots0, jnp.bool_(False)), raw)
+
+        # Render accepted doors: every slot has a STATIC grid position.
+        for sidx in range(num_slots):
+            x, y = int(slot_pos[sidx, 0]), int(slot_pos[sidx, 1])
+            val = slots[sidx]
+            cell = jnp.where(
+                val > 0,
+                jnp.stack([jnp.int32(TYPE_DOOR), val - 1,
+                           jnp.int32(STATE_CLOSED)]),
+                grid[x, y],
+            )
+            grid = grid.at[x, y].set(cell)
         return grid
 
     def _gen_grid(self, key: jax.Array) -> MultiGridState:
