@@ -103,16 +103,18 @@ class PlaygroundEnv(RoomGrid):
         keep adding doors between random room pairs until every room is
         reachable from room (0, 0).
 
-        Structured for TPU: the proposal loop is a ``lax.scan`` touching only
-        lattice-sized arrays ((C, R, 4) doors, per-wall-slot door values);
-        accepted doors render to the grid afterwards with static-index
-        writes. The grid never enters the loop carry — the earlier
-        while_loop formulation re-selected the full (W, H, 3) grid every
-        iteration and cost ~100× more.
+        Fully vectorized — no loop at all. The sequential semantics
+        ("accept proposal k iff its wall is fresh and the rooms are not yet
+        connected by proposals < k") are recovered exactly from batched
+        draws: connectivity is monotone in the door set, so the first
+        connected prefix index k* is computed by evaluating reachability on
+        all cumulative prefixes at once, and proposal k is accepted iff
+        k <= k*. Accepted doors render through static per-wall slots.
         """
         geom = self.geometry
         C, R = geom.num_cols, geom.num_rows
         rs = geom.room_size
+        K = max_itrs
         has_nb = jnp.asarray(self._has_neighbor)
         dvec = jnp.asarray(DIR_TO_VEC, dtype=jnp.int32)
         wall_id_np, slot_pos, num_walls = self._slot_tables()
@@ -120,73 +122,85 @@ class PlaygroundEnv(RoomGrid):
         offs_per_wall = rs - 2
         num_slots = num_walls * offs_per_wall
 
-        ci = jnp.arange(C, dtype=jnp.int32)[:, None, None]
-        ri = jnp.arange(R, dtype=jnp.int32)[None, :, None]
-        di = jnp.arange(4, dtype=jnp.int32)[None, None, :]
-        slot_iota = jnp.arange(num_slots, dtype=jnp.int32)
+        # Batched proposal draws.
+        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+        cols = jax.random.randint(k1, (K,), 0, C, dtype=jnp.int32)
+        rows = jax.random.randint(k2, (K,), 0, R, dtype=jnp.int32)
+        ds = jax.random.randint(k3, (K,), 0, 4, dtype=jnp.int32)
+        colors = jax.random.randint(k4, (K,), 0, NUM_BASE_COLORS, jnp.int32)
+        offsets = jax.random.randint(k5, (K,), 1, rs - 1, dtype=jnp.int32)
 
-        def reachable(doors):
-            reach = jnp.zeros((C, R), dtype=jnp.bool_).at[0, 0].set(True)
-            for _ in range(C * R):
-                spread = reach
-                # right: door (c,r,0) connects (c,r) <-> (c+1,r), etc.
-                spread = spread | jnp.pad(
-                    (reach & doors[..., 0])[:-1, :], ((1, 0), (0, 0)))
-                spread = spread | jnp.pad(
-                    (reach & doors[..., 1])[:, :-1], ((0, 0), (1, 0)))
-                spread = spread | jnp.pad(
-                    (reach & doors[..., 2])[1:, :], ((0, 1), (0, 0)))
-                spread = spread | jnp.pad(
-                    (reach & doors[..., 3])[:, 1:], ((0, 0), (0, 1)))
-                reach = spread
-            return reach
+        ci = jnp.arange(C, dtype=jnp.int32)[None, :, None, None]
+        ri = jnp.arange(R, dtype=jnp.int32)[None, None, :, None]
+        di = jnp.arange(4, dtype=jnp.int32)[None, None, None, :]
+        here = (
+            (ci == cols[:, None, None, None])
+            & (ri == rows[:, None, None, None])
+            & (di == ds[:, None, None, None])
+        )  # (K, C, R, 4)
+        ncols = cols + jnp.sum(
+            jnp.where(di[0, 0, 0] == ds[:, None], dvec[None, :, 0], 0), axis=1)
+        nrows = rows + jnp.sum(
+            jnp.where(di[0, 0, 0] == ds[:, None], dvec[None, :, 1], 0), axis=1)
+        there = (
+            (ci == ncols[:, None, None, None])
+            & (ri == nrows[:, None, None, None])
+            & (di == ((ds[:, None, None, None] + 2) % 4))
+        )
 
-        def body(carry, ks):
-            doors, slots, connected = carry
-            k1, k2, k3, k4, k5 = ks
-            col = jax.random.randint(k1, (), 0, C, dtype=jnp.int32)
-            row = jax.random.randint(k2, (), 0, R, dtype=jnp.int32)
-            d = jax.random.randint(k3, (), 0, 4, dtype=jnp.int32)
-            color = jax.random.randint(k4, (), 0, NUM_BASE_COLORS, jnp.int32)
-            offset = jax.random.randint(k5, (), 1, rs - 1, dtype=jnp.int32)
+        wid = jnp.sum(jnp.where(here, wall_id[None], 0), axis=(1, 2, 3))
+        has_wall = jnp.any(here & has_nb[None], axis=(1, 2, 3))  # (K,)
+        # First valid proposal per wall wins (later ones hit an existing
+        # door in the sequential loop).
+        occ = (
+            (jnp.arange(num_walls, dtype=jnp.int32)[None, :] == wid[:, None])
+            & has_wall[:, None]
+        )  # (K, num_walls)
+        fresh = occ & (jnp.cumsum(occ.astype(jnp.int32), axis=0) == 1)
+        valid = jnp.any(fresh, axis=1)  # (K,)
 
-            here = (ci == col) & (ri == row) & (di == d)
-            # The while-loop form checks connectivity BEFORE each proposal.
-            ok = (
-                jnp.any(here & has_nb)
-                & ~jnp.any(here & doors)
-                & ~connected
-            )
-            wid = jnp.sum(jnp.where(here, wall_id, 0))
-            slot = wid * offs_per_wall + (offset - 1)
-            # Last write wins on slot collisions, matching the in-place
-            # overwrite order of the reference loop.
-            slots = jnp.where((slot_iota == slot) & ok, color + 1, slots)
+        # Cumulative door sets and the first connected prefix.
+        edges = (here | there) & valid[:, None, None, None]
+        doors_prefix = jnp.cumsum(edges.astype(jnp.int32), axis=0) > 0
 
-            ncol = col + jnp.sum(jnp.where(di[0, 0] == d, dvec[:, 0], 0))
-            nrow = row + jnp.sum(jnp.where(di[0, 0] == d, dvec[:, 1], 0))
-            there = (ci == ncol) & (ri == nrow) & (di == (d + 2) % 4)
-            doors = doors | ((here | there) & ok)
-            connected = jnp.all(reachable(doors))
-            return (doors, slots, connected), None
+        reach = jnp.zeros((K, C, R), dtype=jnp.bool_).at[:, 0, 0].set(True)
+        for _ in range(C * R - 1):
+            spread = reach
+            spread = spread | jnp.pad(
+                (reach & doors_prefix[..., 0])[:, :-1, :],
+                ((0, 0), (1, 0), (0, 0)))
+            spread = spread | jnp.pad(
+                (reach & doors_prefix[..., 1])[:, :, :-1],
+                ((0, 0), (0, 0), (1, 0)))
+            spread = spread | jnp.pad(
+                (reach & doors_prefix[..., 2])[:, 1:, :],
+                ((0, 0), (0, 1), (0, 0)))
+            spread = spread | jnp.pad(
+                (reach & doors_prefix[..., 3])[:, :, 1:],
+                ((0, 0), (0, 0), (0, 1)))
+            reach = spread
+        connected_after = jnp.all(reach, axis=(1, 2))  # (K,)
+        # First index whose prefix connects everything; if none within the
+        # cap, accept every valid proposal (the reference's try bound).
+        kstar = jnp.where(
+            jnp.any(connected_after),
+            jnp.argmax(connected_after),
+            jnp.int32(K - 1),
+        )
+        accepted = valid & (jnp.arange(K, dtype=jnp.int32) <= kstar)
 
-        doors0 = jnp.zeros((C, R, 4), dtype=jnp.bool_)
-        slots0 = jnp.zeros((num_slots,), dtype=jnp.int32)  # 0 = no door
-        # Scan over raw key data (typed keys don't stack into scan xs).
-        raw = jax.random.key_data(
-            jax.random.split(key, 5 * max_itrs)).reshape(max_itrs, 5, -1)
+        # Render through static slots (walls are unique among accepted, so
+        # there are no slot collisions).
+        slots_k = wid * offs_per_wall + (offsets - 1)
+        slot_hit = (
+            jnp.arange(num_slots, dtype=jnp.int32)[None, :] == slots_k[:, None]
+        ) & accepted[:, None]
+        slot_vals = jnp.sum(
+            slot_hit.astype(jnp.int32) * (colors[:, None] + 1), axis=0)
 
-        def body_raw(carry, kraw):
-            ks = tuple(jax.random.wrap_key_data(kraw[i]) for i in range(5))
-            return body(carry, ks)
-
-        (doors, slots, _), _ = jax.lax.scan(
-            body_raw, (doors0, slots0, jnp.bool_(False)), raw)
-
-        # Render accepted doors: every slot has a STATIC grid position.
         for sidx in range(num_slots):
             x, y = int(slot_pos[sidx, 0]), int(slot_pos[sidx, 1])
-            val = slots[sidx]
+            val = slot_vals[sidx]
             cell = jnp.where(
                 val > 0,
                 jnp.stack([jnp.int32(TYPE_DOOR), val - 1,
