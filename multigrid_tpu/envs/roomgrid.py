@@ -182,8 +182,10 @@ def uniform_pos_dir(key: jax.Array, valid: jax.Array) -> tuple[jax.Array, jax.Ar
     conditioned on acceptance is uniform over the accepted set.
     """
     w, h, _ = valid.shape
-    g = jax.random.gumbel(key, (w, h, 4))
-    g = jnp.where(valid, g, -jnp.inf)
+    g = jax.random.bits(key, (w, h, 4), dtype=jnp.uint32)
+    # Top bit set on valid cells: a valid cell always beats invalid
+    # ones even in the astronomically unlikely all-zero-bits draw.
+    g = jnp.where(valid, (g >> 1) | jnp.uint32(1 << 31), jnp.uint32(0))
     flat = jnp.argmax(g.reshape(-1))
     pos = jnp.stack([flat // (h * 4), (flat // 4) % h]).astype(jnp.int32)
     return pos, (flat % 4).astype(jnp.int32)

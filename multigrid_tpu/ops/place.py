@@ -44,15 +44,19 @@ def rect_mask(
 def uniform_position(key: jax.Array, valid: jax.Array) -> jax.Array:
     """Sample a cell uniformly from the True entries of a (W, H) mask.
 
-    Gumbel-argmax over equal logits — the fixed-cost equivalent of the
-    reference's accept-first-valid rejection loop (base.py:637-662). If no
-    cell is valid, returns the argmax position of the mask (cell 0) — callers
-    must guarantee satisfiability, as the reference does implicitly by
-    looping forever.
+    Argmax of i.i.d. random bits over the valid cells — the fixed-cost
+    equivalent of the reference's accept-first-valid rejection loop
+    (base.py:637-662), distribution-identical to Gumbel-argmax but without
+    transcendentals (uniform-tie probability ~W·H/2³² is negligible; the
+    auto-reset path runs this every step). If no cell is valid, returns
+    cell 0 — callers must guarantee satisfiability, as the reference does
+    implicitly by looping forever.
     """
     w, h = valid.shape
-    g = jax.random.gumbel(key, (w, h))
-    g = jnp.where(valid, g, -jnp.inf)
+    g = jax.random.bits(key, (w, h), dtype=jnp.uint32)
+    # Top bit set on valid cells: a valid cell always beats invalid
+    # ones even in the astronomically unlikely all-zero-bits draw.
+    g = jnp.where(valid, (g >> 1) | jnp.uint32(1 << 31), jnp.uint32(0))
     flat_idx = jnp.argmax(g.reshape(-1))
     return jnp.stack([flat_idx // h, flat_idx % h]).astype(jnp.int32)
 
