@@ -70,15 +70,29 @@ def ppo_init(
     *,
     net: ActorCritic | None = None,
     config: PPOConfig | None = None,
+    per_agent_policies: bool = False,
 ):
-    """Initialize (train_state, net, config, optimizer)."""
+    """Initialize (train_state, net, config, optimizer).
+
+    ``per_agent_policies=True`` gives each agent its own parameters (the
+    reference example trains an independent ``policy_{i}`` per agent,
+    multigrid/scripts/train.py:154-158) — a stacked parameter pytree with a
+    leading agent axis, vmapped at apply time. Default is shared-parameter
+    self-play.
+    """
     net = net or ActorCritic()
     config = config or PPOConfig()
     k_env, k_net, k_train = jax.random.split(key, 3)
     obs, env_state = venv.reset(k_env)
-    params = net.init(
-        k_net, obs['image'][0, 0], obs['direction'][0, 0]
-    )
+    if per_agent_policies:
+        net_keys = jax.random.split(k_net, venv.num_agents)
+        params = jax.vmap(
+            lambda k: net.init(k, obs['image'][0, 0], obs['direction'][0, 0])
+        )(net_keys)
+    else:
+        params = net.init(
+            k_net, obs['image'][0, 0], obs['direction'][0, 0]
+        )
     tx = optax.chain(
         optax.clip_by_global_norm(config.max_grad_norm),
         optax.adam(config.lr),
@@ -99,12 +113,30 @@ def make_train_step(
     net: ActorCritic,
     config: PPOConfig,
     tx: optax.GradientTransformation,
+    per_agent_policies: bool = False,
 ) -> Callable[[TrainState], tuple[TrainState, dict]]:
-    """Build the jitted PPO update: rollout + GAE + clipped surrogate step."""
+    """Build the jitted PPO update: rollout + GAE + clipped surrogate step.
+
+    With ``per_agent_policies`` the parameter pytree carries a leading agent
+    axis (see :func:`ppo_init`) and each agent's observations route through
+    its own parameters via ``vmap`` — the reference's independent
+    ``policy_{i}`` scheme (multigrid/scripts/train.py:154-158).
+    """
+
+    if per_agent_policies:
+        def apply_net(params, image, direction):
+            # image (..., N, vs, vs, 3), direction (..., N): agent axis to
+            # front, one net application per agent's parameter slice.
+            img = jnp.moveaxis(image, -4, 0)
+            dirn = jnp.moveaxis(direction, -1, 0)
+            logits, value = jax.vmap(net.apply)(params, img, dirn)
+            return jnp.moveaxis(logits, 0, -2), jnp.moveaxis(value, 0, -1)
+    else:
+        apply_net = net.apply
 
     def policy(params, obs):
         # obs arrays are (E, N, ...): flatten agents into the batch.
-        logits, value = net.apply(params, obs['image'], obs['direction'])
+        logits, value = apply_net(params, obs['image'], obs['direction'])
         return logits, value
 
     def rollout_phase(state: TrainState) -> tuple[TrainState, Rollout, jax.Array]:
@@ -152,7 +184,7 @@ def make_train_step(
         return advantages, advantages + traj.value
 
     def loss_fn(params, traj: Rollout, advantages, targets):
-        logits, value = net.apply(params, traj.image, traj.direction)
+        logits, value = apply_net(params, traj.image, traj.direction)
         log_probs = jax.nn.log_softmax(logits)
         log_prob = jnp.take_along_axis(
             log_probs, traj.action[..., None], axis=-1
@@ -200,6 +232,7 @@ def make_train_loop(
     config: PPOConfig,
     tx: optax.GradientTransformation,
     updates_per_call: int,
+    per_agent_policies: bool = False,
 ) -> Callable[[TrainState], tuple[TrainState, dict]]:
     """``updates_per_call`` PPO updates fused into one jitted scan.
 
@@ -207,7 +240,8 @@ def make_train_loop(
     backends) and lets XLA pipeline consecutive updates. Returned metrics
     are the mean over the scanned updates.
     """
-    train_step = make_train_step(venv, net, config, tx)
+    train_step = make_train_step(
+        venv, net, config, tx, per_agent_policies=per_agent_policies)
 
     @jax.jit
     def train_loop(state: TrainState) -> tuple[TrainState, dict]:

@@ -59,6 +59,9 @@ def parse_args() -> argparse.Namespace:
     p.add_argument('--updates-per-call', type=int, default=1,
                    help='PPO updates fused per jitted call (amortizes '
                         'dispatch overhead on remote TPU backends)')
+    p.add_argument('--per-agent-policies', action='store_true',
+                   help='independent parameters per agent (the reference '
+                        "example's policy_{i}); default is shared self-play")
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--save-dir', default='checkpoints',
                    help='checkpoint directory (saved every --save-interval '
@@ -91,7 +94,8 @@ def train(args: argparse.Namespace) -> None:
     )
     net = ActorCritic(hidden=args.hidden, encoder=args.encoder)
     state, net, config, tx = ppo_init(
-        venv, jax.random.key(args.seed), net=net, config=config)
+        venv, jax.random.key(args.seed), net=net, config=config,
+        per_agent_policies=args.per_agent_policies)
 
     if args.load_dir:
         ckpt = latest_checkpoint(args.load_dir)
@@ -101,9 +105,13 @@ def train(args: argparse.Namespace) -> None:
 
     upc = max(1, args.updates_per_call)
     if upc > 1:
-        train_step = make_train_loop(venv, net, config, tx, upc)
+        train_step = make_train_loop(
+            venv, net, config, tx, upc,
+            per_agent_policies=args.per_agent_policies)
     else:
-        train_step = make_train_step(venv, net, config, tx)
+        train_step = make_train_step(
+            venv, net, config, tx,
+            per_agent_policies=args.per_agent_policies)
     steps_per_update = (
         args.num_envs * args.num_agents * config.rollout_steps * upc)
     num_updates = max(1, args.num_timesteps // steps_per_update)

@@ -29,3 +29,23 @@ def test_train_step_updates_params():
     assert not np.allclose(np.asarray(before), np.asarray(after))
     # Env kept stepping inside the rollout scan.
     assert state.env_state.step_count.shape == (4,)
+
+
+def test_per_agent_policies():
+    """Independent per-agent parameters (the reference's policy_{i},
+    scripts/train.py:154-158): stacked params, vmapped application."""
+    venv = VectorEnv(make('MultiGrid-Empty-5x5-v0', agents=3), 4)
+    net = ActorCritic(hidden=16, encoder='mlp')
+    config = PPOConfig(rollout_steps=2)
+    state, net, config, tx = ppo_init(
+        venv, jax.random.key(1), net=net, config=config,
+        per_agent_policies=True)
+    leaf = jax.tree.leaves(state.params)[0]
+    assert leaf.shape[0] == 3  # leading agent axis
+    train_step = make_train_step(
+        venv, net, config, tx, per_agent_policies=True)
+    state, metrics = train_step(state)
+    assert np.isfinite(float(metrics['loss']))
+    # Each agent's parameters diverge independently.
+    after = jax.tree.leaves(state.params)[0]
+    assert not np.allclose(np.asarray(after[0]), np.asarray(after[1]))
