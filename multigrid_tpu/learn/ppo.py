@@ -11,9 +11,10 @@ Functional equivalent of the reference's RLlib PPO example
 (multigrid/scripts/train.py:126-199), minus the Ray process topology: where
 the reference ships observations between env-runner workers and a torch
 learner through Ray's object store, here "shipping" is a sharding constraint.
-All agents share one policy by default (self-play); per-agent parameter maps
-(the reference's ``policy_{i}``, scripts/train.py:154-158) are a vmap over a
-stacked parameter pytree via ``num_policies``.
+All agents share one policy by default (self-play); set
+``PPOConfig(per_agent_policies=True)`` for the reference's independent
+``policy_{i}`` scheme (scripts/train.py:154-158) — a stacked parameter
+pytree with a leading agent axis, vmapped at apply time.
 """
 
 from __future__ import annotations
@@ -40,6 +41,8 @@ class PPOConfig:
     lr: float = 3e-4
     max_grad_norm: float = 0.5
     epochs: int = struct.field(pytree_node=False, default=1)
+    #: Independent parameters per agent (the reference's policy_{i}).
+    per_agent_policies: bool = struct.field(pytree_node=False, default=False)
 
 
 @struct.dataclass
@@ -64,39 +67,68 @@ class Rollout:
     done: jax.Array
 
 
+def clip_by_global_norm_per_agent(max_norm: float):
+    """Like ``optax.clip_by_global_norm`` but with an independent norm per
+    leading-axis (agent) parameter slice, so one agent's gradient spike does
+    not rescale every other agent's update."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        sq = sum(
+            jnp.sum(jnp.square(g), axis=tuple(range(1, g.ndim)))
+            for g in jax.tree.leaves(updates)
+        )  # (N,)
+        norm = jnp.sqrt(sq)
+        scale = jnp.minimum(1.0, max_norm / (norm + 1e-16))
+
+        def apply(g):
+            s = scale.reshape(scale.shape + (1,) * (g.ndim - 1))
+            return g * s
+
+        return jax.tree.map(apply, updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def ppo_init(
     venv: VectorEnv,
     key: jax.Array,
     *,
     net: ActorCritic | None = None,
     config: PPOConfig | None = None,
-    per_agent_policies: bool = False,
+    per_agent_policies: bool | None = None,
 ):
     """Initialize (train_state, net, config, optimizer).
 
-    ``per_agent_policies=True`` gives each agent its own parameters (the
-    reference example trains an independent ``policy_{i}`` per agent,
-    multigrid/scripts/train.py:154-158) — a stacked parameter pytree with a
-    leading agent axis, vmapped at apply time. Default is shared-parameter
-    self-play.
+    ``PPOConfig(per_agent_policies=True)`` gives each agent its own
+    parameters (the reference example trains an independent ``policy_{i}``
+    per agent, multigrid/scripts/train.py:154-158) — a stacked parameter
+    pytree with a leading agent axis, vmapped at apply time, clipped per
+    agent slice. Default is shared-parameter self-play. (The keyword
+    argument is a deprecated alias for the config field.)
     """
     net = net or ActorCritic()
     config = config or PPOConfig()
+    if per_agent_policies is not None:
+        config = config.replace(per_agent_policies=per_agent_policies)
     k_env, k_net, k_train = jax.random.split(key, 3)
     obs, env_state = venv.reset(k_env)
-    if per_agent_policies:
+    if config.per_agent_policies:
         net_keys = jax.random.split(k_net, venv.num_agents)
         params = jax.vmap(
             lambda k: net.init(k, obs['image'][0, 0], obs['direction'][0, 0])
         )(net_keys)
+        clip = clip_by_global_norm_per_agent(config.max_grad_norm)
     else:
         params = net.init(
             k_net, obs['image'][0, 0], obs['direction'][0, 0]
         )
-    tx = optax.chain(
-        optax.clip_by_global_norm(config.max_grad_norm),
-        optax.adam(config.lr),
-    )
+        clip = optax.clip_by_global_norm(config.max_grad_norm)
+    tx = optax.chain(clip, optax.adam(config.lr))
     state = TrainState(
         params=params,
         opt_state=tx.init(params),
@@ -113,17 +145,20 @@ def make_train_step(
     net: ActorCritic,
     config: PPOConfig,
     tx: optax.GradientTransformation,
-    per_agent_policies: bool = False,
+    per_agent_policies: bool | None = None,
 ) -> Callable[[TrainState], tuple[TrainState, dict]]:
     """Build the jitted PPO update: rollout + GAE + clipped surrogate step.
 
-    With ``per_agent_policies`` the parameter pytree carries a leading agent
-    axis (see :func:`ppo_init`) and each agent's observations route through
-    its own parameters via ``vmap`` — the reference's independent
-    ``policy_{i}`` scheme (multigrid/scripts/train.py:154-158).
+    With ``config.per_agent_policies`` the parameter pytree carries a leading
+    agent axis (see :func:`ppo_init`) and each agent's observations route
+    through its own parameters via ``vmap`` — the reference's independent
+    ``policy_{i}`` scheme (multigrid/scripts/train.py:154-158). The keyword
+    argument is a deprecated alias for the config field.
     """
+    if per_agent_policies is not None:
+        config = config.replace(per_agent_policies=per_agent_policies)
 
-    if per_agent_policies:
+    if config.per_agent_policies:
         def apply_net(params, image, direction):
             # image (..., N, vs, vs, 3), direction (..., N): agent axis to
             # front, one net application per agent's parameter slice.
@@ -190,7 +225,16 @@ def make_train_step(
             log_probs, traj.action[..., None], axis=-1
         ).squeeze(-1)
         ratio = jnp.exp(log_prob - traj.log_prob)
-        adv = (advantages - advantages.mean()) / (advantages.std() + 1e-8)
+        if config.per_agent_policies:
+            # Normalize within each agent's own batch — pooling the stats
+            # across agents would couple the 'independent' policies through
+            # each other's reward statistics.
+            mu = advantages.mean(axis=(0, 1), keepdims=True)
+            sd = advantages.std(axis=(0, 1), keepdims=True)
+        else:
+            mu = advantages.mean()
+            sd = advantages.std()
+        adv = (advantages - mu) / (sd + 1e-8)
         pg_loss = -jnp.minimum(
             ratio * adv,
             jnp.clip(ratio, 1 - config.clip_eps, 1 + config.clip_eps) * adv,
@@ -232,7 +276,7 @@ def make_train_loop(
     config: PPOConfig,
     tx: optax.GradientTransformation,
     updates_per_call: int,
-    per_agent_policies: bool = False,
+    per_agent_policies: bool | None = None,
 ) -> Callable[[TrainState], tuple[TrainState, dict]]:
     """``updates_per_call`` PPO updates fused into one jitted scan.
 

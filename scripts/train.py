@@ -91,27 +91,31 @@ def train(args: argparse.Namespace) -> None:
     config = PPOConfig(
         rollout_steps=args.rollout_steps, lr=args.lr, gamma=args.gamma,
         ent_coef=args.ent_coef, epochs=args.epochs,
+        per_agent_policies=args.per_agent_policies,
     )
     net = ActorCritic(hidden=args.hidden, encoder=args.encoder)
     state, net, config, tx = ppo_init(
-        venv, jax.random.key(args.seed), net=net, config=config,
-        per_agent_policies=args.per_agent_policies)
+        venv, jax.random.key(args.seed), net=net, config=config)
 
     if args.load_dir:
         ckpt = latest_checkpoint(args.load_dir)
         if ckpt:
-            state = restore_checkpoint(ckpt, state)
+            try:
+                state = restore_checkpoint(ckpt, state)
+            except Exception as exc:
+                raise SystemExit(
+                    f'failed to restore {ckpt}: {exc}\n'
+                    'Hint: --per-agent-policies, --hidden, --encoder, '
+                    '--num-agents and --num-envs must match the values the '
+                    'checkpoint was trained with.'
+                ) from exc
             print(f'resumed from {ckpt} (update {int(state.update_count)})')
 
     upc = max(1, args.updates_per_call)
     if upc > 1:
-        train_step = make_train_loop(
-            venv, net, config, tx, upc,
-            per_agent_policies=args.per_agent_policies)
+        train_step = make_train_loop(venv, net, config, tx, upc)
     else:
-        train_step = make_train_step(
-            venv, net, config, tx,
-            per_agent_policies=args.per_agent_policies)
+        train_step = make_train_step(venv, net, config, tx)
     steps_per_update = (
         args.num_envs * args.num_agents * config.rollout_steps * upc)
     num_updates = max(1, args.num_timesteps // steps_per_update)

@@ -34,6 +34,9 @@ def parse_args() -> argparse.Namespace:
                    help='checkpoint directory from scripts/train.py; random '
                         'policy when omitted')
     p.add_argument('--hidden', type=int, default=128)
+    p.add_argument('--encoder', default='cnn', choices=['cnn', 'mlp'])
+    p.add_argument('--per-agent-policies', action='store_true',
+                   help='must match the flag the checkpoint was trained with')
     p.add_argument('--gif', default=None, help='output GIF path')
     p.add_argument('--tile-size', type=int, default=32)
     return p.parse_args()
@@ -47,21 +50,34 @@ def visualize(args: argparse.Namespace) -> list[np.ndarray]:
 
     policy = None
     if args.load_dir:
-        from multigrid_tpu.learn import ActorCritic, ppo_init
+        from multigrid_tpu.learn import ActorCritic, PPOConfig, ppo_init
         from multigrid_tpu.parallel import VectorEnv
         from multigrid_tpu.utils.checkpoint import (
             latest_checkpoint, restore_checkpoint)
-        net = ActorCritic(hidden=args.hidden)
+        net = ActorCritic(hidden=args.hidden, encoder=args.encoder)
+        config = PPOConfig(per_agent_policies=args.per_agent_policies)
         tmp_state, net, _, _ = ppo_init(
-            VectorEnv(env, 1), jax.random.key(0), net=net)
+            VectorEnv(env, 1), jax.random.key(0), net=net, config=config)
         ckpt = latest_checkpoint(args.load_dir)
         assert ckpt, f'no checkpoint under {args.load_dir}'
-        params = restore_checkpoint(ckpt, tmp_state).params
+        try:
+            params = restore_checkpoint(ckpt, tmp_state).params
+        except Exception as exc:
+            raise SystemExit(
+                f'failed to restore {ckpt}: {exc}\n'
+                'Hint: --per-agent-policies, --hidden, --encoder and '
+                '--num-agents must match the training run.'
+            ) from exc
         print(f'loaded policy from {ckpt}')
 
         @jax.jit
         def policy(key, obs):
-            logits, _ = net.apply(params, obs['image'], obs['direction'])
+            if args.per_agent_policies:
+                # obs arrays are (N, ...): one parameter slice per agent.
+                logits, _ = jax.vmap(net.apply)(
+                    params, obs['image'], obs['direction'])
+            else:
+                logits, _ = net.apply(params, obs['image'], obs['direction'])
             return jax.random.categorical(key, logits).astype(jnp.int32)
 
     frames: list[np.ndarray] = []

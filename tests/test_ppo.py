@@ -36,16 +36,21 @@ def test_per_agent_policies():
     scripts/train.py:154-158): stacked params, vmapped application."""
     venv = VectorEnv(make('MultiGrid-Empty-5x5-v0', agents=3), 4)
     net = ActorCritic(hidden=16, encoder='mlp')
-    config = PPOConfig(rollout_steps=2)
+    config = PPOConfig(rollout_steps=2, per_agent_policies=True)
     state, net, config, tx = ppo_init(
-        venv, jax.random.key(1), net=net, config=config,
-        per_agent_policies=True)
+        venv, jax.random.key(1), net=net, config=config)
+    before = jax.tree.map(lambda x: np.asarray(x).copy(), state.params)
     leaf = jax.tree.leaves(state.params)[0]
     assert leaf.shape[0] == 3  # leading agent axis
-    train_step = make_train_step(
-        venv, net, config, tx, per_agent_policies=True)
+    train_step = make_train_step(venv, net, config, tx)
     state, metrics = train_step(state)
     assert np.isfinite(float(metrics['loss']))
-    # Each agent's parameters diverge independently.
-    after = jax.tree.leaves(state.params)[0]
-    assert not np.allclose(np.asarray(after[0]), np.asarray(after[1]))
+    # Every agent's own parameter slice actually trained (not just agent 0's
+    # slice receiving everyone's gradients).
+    after = state.params
+    for a in range(3):
+        moved = any(
+            not np.allclose(np.asarray(bl)[a], np.asarray(al)[a])
+            for bl, al in zip(jax.tree.leaves(before), jax.tree.leaves(after))
+        )
+        assert moved, f'agent {a} parameters did not update'
