@@ -59,6 +59,13 @@ _WALL_PACKED = (
 )
 
 
+def supports_batch(e: int) -> bool:
+    """Whether an env batch of size ``e`` tiles into the kernel's lane
+    blocks: whole 128-lane tiles, and a whole number of blocks."""
+    block = min(_BLOCK, e)
+    return e % 128 == 0 and e % block == 0
+
+
 def _pack(t, c, s):
     """Bit-pack encoding triples: 4 bits state, 4 bits color, rest type."""
     return (
@@ -352,7 +359,11 @@ def gen_obs_batched_pallas(
 
     # ---- kernel ------------------------------------------------------------
     block = min(_BLOCK, e)
-    assert e % block == 0, f'env batch {e} not a multiple of {block}'
+    # Compiled mode needs whole 128-lane tiles; the interpreter handles any
+    # batch (used by the CPU equality tests).
+    assert interpret or supports_batch(e), (
+        f'env batch {e} does not tile into {block}-lane kernel blocks '
+        '(use VectorEnv, which falls back to the XLA path)')
     kernel = functools.partial(
         _obs_kernel,
         num_agents=n, vs=vs, wp=wp, hp=hp,

@@ -21,14 +21,14 @@ from ..core.constants import TYPE_EMPTY
 def agent_occupancy(agent_pos: jax.Array, width: int, height: int) -> jax.Array:
     """(W, H) bool mask of cells occupied by any agent.
 
-    Unplaced agents at (-1, -1) are dropped (out-of-bounds writes are
-    discarded rather than wrapping).
+    One-hot masked reduce (a traced-index scatter would serialize per env
+    under vmap — this runs on the per-step auto-reset path). Unplaced agents
+    at (-1, -1) match no cell.
     """
-    placed = jnp.all(agent_pos >= 0, axis=-1)
-    px = jnp.where(placed, agent_pos[..., 0], width)
-    py = jnp.where(placed, agent_pos[..., 1], height)
-    occ = jnp.zeros((width, height), dtype=jnp.bool_)
-    return occ.at[px, py].max(True, mode='drop')
+    cx = jnp.arange(width, dtype=jnp.int32)[:, None, None]
+    cy = jnp.arange(height, dtype=jnp.int32)[None, :, None]
+    hit = (cx == agent_pos[None, None, :, 0]) & (cy == agent_pos[None, None, :, 1])
+    return jnp.any(hit, axis=-1)
 
 
 def rect_mask(

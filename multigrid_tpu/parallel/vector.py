@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh
 
+from ..core.actions import NUM_ACTIONS
 from ..core.state import MultiGridState
 from ..envs.env import MultiGridEnv
 from ..ops.obs import gen_obs
@@ -65,13 +66,17 @@ class VectorEnv:
             # The fused kernel requires a TPU backend and block-divisible
             # per-shard env batches (under a mesh it runs inside shard_map,
             # one kernel per chip over the local shard). Very large teams
-            # make the unrolled kernel a Mosaic compile bomb — the XLA path
-            # handles them.
+            # make the unrolled kernel a Mosaic compile bomb, and the packed
+            # cell encoding carries 4 color bits — the XLA path handles both.
+            from ..core.constants import Color
+            from ..ops.obs_pallas import supports_batch
             shards = mesh.devices.size if mesh is not None else 1
             use_pallas_obs = (
                 jax.default_backend() not in ('cpu', 'gpu')
-                and num_envs % (128 * shards) == 0
+                and num_envs % shards == 0
+                and supports_batch(num_envs // shards)
                 and env.num_agents <= 8
+                and len(Color) <= 16
             )
         self.use_pallas_obs = use_pallas_obs
 
@@ -195,7 +200,8 @@ class VectorEnv:
             st, k, rew_sum, done_sum, obs_sum = carry
             k, ak = jax.random.split(k)
             actions = jax.random.randint(
-                ak, (self.num_envs, self.num_agents), 0, 7, dtype=jnp.int32
+                ak, (self.num_envs, self.num_agents), 0, NUM_ACTIONS,
+                dtype=jnp.int32,
             )
             obs, st, rew, _, _, done = self.step(st, actions)
             # The image is the expensive leaf — checksum it specifically so
