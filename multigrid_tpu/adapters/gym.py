@@ -112,8 +112,15 @@ class GymAdapter(gym.Env):
         self._key, k = jax.random.split(self._key)
         obs, self._state = self.env.reset(k)
         mission = self.env.mission_of(self._state)
-        self._mission = mission if isinstance(mission, Mission) \
-            else Mission(mission or self.env.mission)
+        if isinstance(mission, Mission):
+            self._mission = mission
+        else:
+            # Resolve the index in the env's mission space so downstream
+            # index-based encodings match the reference's MultiDiscrete space.
+            text = mission or self.env.mission
+            space = self.env.mission_space
+            self._mission = next(
+                (m for m in space if str(m) == str(text)), Mission(text))
         if self.render_mode == 'human':
             self.render()
         return self._obs_dicts(obs), {i: {} for i in self.agents}

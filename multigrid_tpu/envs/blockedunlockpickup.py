@@ -59,12 +59,15 @@ class BlockedUnlockPickupEnv(RoomGrid):
 
     @property
     def mission_space(self):
-        """Mission per box color (envs/blockedunlockpickup.py:137-140)."""
+        """Missions over (color, object type) — the reference enumerates
+        [list(Color), [Type.box, Type.key]] (blockedunlockpickup.py:123-126),
+        12 missions, even though only box missions are ever issued."""
         from ..core.constants import Color
         from ..core.mission import MissionSpace
         return MissionSpace(
-            mission_func=lambda color: f"pick up the {color} box",
-            ordered_placeholders=[[c.value for c in Color]],
+            mission_func=lambda color, obj_type:
+                f"pick up the {color} {obj_type}",
+            ordered_placeholders=[[c.value for c in Color], ['box', 'key']],
         )
 
     def _gen_grid(self, key: jax.Array) -> MultiGridState:

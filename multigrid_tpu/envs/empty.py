@@ -67,16 +67,8 @@ class EmptyEnv(MultiGridEnv):
 
         # Random starts: sequential uniform placement over free cells
         # (base.py:680-697), one fixed-cost draw per agent.
-        keys = jax.random.split(key, 2 * cfg.num_agents)
-        for a in range(cfg.num_agents):
-            valid = place_obj_mask(state.grid, state.agent_pos)
-            pos = uniform_position(keys[2 * a], valid)
-            dirn = jax.random.randint(keys[2 * a + 1], (), 0, 4, dtype=jnp.int32)
-            state = state.replace(
-                agent_pos=state.agent_pos.at[a].set(pos),
-                agent_dir=state.agent_dir.at[a].set(dirn),
-            )
-        return state
+        from .roomgrid import place_agents_device
+        return place_agents_device(state, key)
 
     # ------------------------------------------------------------ parity mode
 

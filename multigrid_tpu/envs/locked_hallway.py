@@ -124,10 +124,13 @@ class LockedHallwayEnv(RoomGrid):
 
         # Map each color to the room it opens; later rooms win on duplicate
         # colors, matching the reference's dict overwrite
-        # (locked_hallway.py:170-171).
+        # (locked_hallway.py:170-171). One-hot writes — door_color[r] is a
+        # traced per-env value, and this runs on the per-step auto-reset path.
+        color_iota = jnp.arange(NUM_BASE_COLORS, dtype=jnp.int32)
         room_of_color = jnp.zeros((NUM_BASE_COLORS,), dtype=jnp.int32)
         for r in range(nr):
-            room_of_color = room_of_color.at[door_color[r]].set(r)
+            room_of_color = jnp.where(
+                color_iota == door_color[r], r, room_of_color)
 
         # Chained key placement (locked_hallway.py:176-190): the first
         # num_hallway_keys keys go in the hallway; the rest are grouped, each
@@ -150,11 +153,17 @@ class LockedHallwayEnv(RoomGrid):
                 group_keys[k], (), 1, self.max_keys_per_room + 1,
                 dtype=jnp.int32)
             prev_color = color_sequence[max(k - 1, 0)]
-            group_room = jnp.where(
-                start_group, room_of_color[prev_color], group_room)
+            prev_room = jnp.sum(
+                jnp.where(color_iota == prev_color, room_of_color, 0))
+            group_room = jnp.where(start_group, prev_room, group_room)
             remaining = jnp.where(start_group, size_draw, remaining)
 
-            top = jnp.where(in_hallway, hall_top, room_tops[group_room])
+            group_top = jnp.sum(
+                jnp.where(
+                    jnp.arange(nr, dtype=jnp.int32)[:, None] == group_room,
+                    room_tops, 0),
+                axis=0)
+            top = jnp.where(in_hallway, hall_top, group_top)
             size = jnp.where(in_hallway, hall_size, room_shape)
             valid = place_obj_mask(state.grid, state.agent_pos, top, size)
             pos = uniform_position(place_keys[k], valid)

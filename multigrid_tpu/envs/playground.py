@@ -98,7 +98,7 @@ class PlaygroundEnv(RoomGrid):
         return wall_id, np.asarray(positions, dtype=np.int32), wid
 
     def _connect_all_device(self, grid: jax.Array, key: jax.Array,
-                            max_itrs: int = 96):
+                            max_itrs: int = 256):
         """On-device equivalent of ``connect_all`` (core/roomgrid.py:406-452):
         keep adding doors between random room pairs until every room is
         reachable from room (0, 0).
@@ -181,7 +181,9 @@ class PlaygroundEnv(RoomGrid):
             reach = spread
         connected_after = jnp.all(reach, axis=(1, 2))  # (K,)
         # First index whose prefix connects everything; if none within the
-        # cap, accept every valid proposal (the reference's try bound).
+        # cap, accept every valid proposal. 256 proposals leave a given
+        # interior wall door-less with p = (34/36)^256 ~ 5e-7 (the reference
+        # bounds at 5000 tries and raises, core/roomgrid.py:426,451).
         kstar = jnp.where(
             jnp.any(connected_after),
             jnp.argmax(connected_after),
@@ -232,7 +234,14 @@ class PlaygroundEnv(RoomGrid):
             row = jax.random.randint(kr, (), 0, geom.num_rows, jnp.int32)
             kind = TYPE_KEY + jax.random.randint(kk, (), 0, 3, jnp.int32)
             color = jax.random.randint(kcol, (), 0, NUM_BASE_COLORS, jnp.int32)
-            top = room_tops[col, row]
+            # One-hot room-top lookup (traced-index gathers serialize per env
+            # under vmap on the per-step auto-reset path).
+            rmask = (
+                (jnp.arange(geom.num_cols, dtype=jnp.int32)[:, None] == col)
+                & (jnp.arange(geom.num_rows, dtype=jnp.int32)[None, :] == row)
+            )
+            top = jnp.sum(
+                jnp.where(rmask[..., None], room_tops, 0), axis=(0, 1))
             valid = place_obj_mask(
                 state.grid, state.agent_pos, top, (rs, rs))
             valid = valid & ~next_to_agent_mask(
@@ -248,7 +257,16 @@ class PlaygroundEnv(RoomGrid):
             kc, kr, kp = jax.random.split(agent_keys[a], 3)
             col = jax.random.randint(kc, (), 0, geom.num_cols, jnp.int32)
             row = jax.random.randint(kr, (), 0, geom.num_rows, jnp.int32)
-            top = room_tops[col, row]
+            rmask = (
+                (jnp.arange(geom.num_cols, dtype=jnp.int32)[:, None] == col)
+                & (jnp.arange(geom.num_rows, dtype=jnp.int32)[None, :] == row)
+            )
+            top = jnp.sum(
+                jnp.where(rmask[..., None], room_tops, 0), axis=(0, 1))
+            # Clear this agent's own stale position first (base.py:687-691).
+            state = state.replace(
+                agent_pos=state.agent_pos.at[a].set(
+                    jnp.full((2,), -1, jnp.int32)))
             valid_pos = place_obj_mask(
                 state.grid, state.agent_pos, top, (rs, rs))
             valid = valid_pos[:, :, None] & front_ok_mask(state.grid)

@@ -204,6 +204,12 @@ def place_agents_device(
     n = state.num_agents
     keys = jax.random.split(key, n)
     for a in range(n):
+        # Clear this agent's own stale position first (the reference's
+        # place_agent sets pos=(-1,-1) before sampling, base.py:687-691;
+        # otherwise the agent could never be re-placed on its own cell).
+        state = state.replace(
+            agent_pos=state.agent_pos.at[a].set(
+                jnp.full((2,), -1, jnp.int32)))
         valid_pos = place_obj_mask(state.grid, state.agent_pos, top, size)
         if check_front:
             valid = valid_pos[:, :, None] & front_ok_mask(state.grid)
@@ -317,7 +323,7 @@ class RoomGrid(MultiGridEnv):
     ) -> tuple[MultiGridState, jax.Array]:
         """Add a door on a room wall (core/roomgrid.py:283-331): random or
         midpoint position along the wall span, returning (state, door_pos)."""
-        from ..core.constants import STATE_CLOSED, STATE_LOCKED, TYPE_DOOR
+        from ..core.constants import TYPE_DOOR
         geom = self.geometry
         if rand_pos:
             axis, fixed, lo, hi = geom.door_wall_span(col, row, direction)

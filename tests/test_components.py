@@ -78,7 +78,15 @@ def test_env_mission_strings():
     _, state = env.reset(jax.random.key(0))
     mission = env.mission_of(state)
     assert mission.startswith('pick up the ') and mission.endswith(' box')
-    assert len(env.mission_space) == 6  # one mission per color
+    # 6 colors × {box, key} — matching the reference's placeholder product
+    # (blockedunlockpickup.py:123-126).
+    assert len(env.mission_space) == 12
+    # The issued mission resolves to an index within the space.
+    from multigrid_tpu.adapters import GymAdapter
+    genv = GymAdapter(env)
+    obs, _ = genv.reset(seed=0)
+    m = obs[0]['mission']
+    assert str(env.mission_space[m.index]) == str(m)
 
 
 def test_checkpoint_roundtrip(tmp_path):
