@@ -159,37 +159,64 @@ class PlaygroundEnv(RoomGrid):
         fresh = occ & (jnp.cumsum(occ.astype(jnp.int32), axis=0) == 1)
         valid = jnp.any(fresh, axis=1)  # (K,)
 
-        # Cumulative door sets and the first connected prefix.
-        edges = (here | there) & valid[:, None, None, None]
-        doors_prefix = jnp.cumsum(edges.astype(jnp.int32), axis=0) > 0
+        # Connectivity only changes when a NEW wall is accepted (at most
+        # num_walls times), so reachability is evaluated per accepted-wall
+        # COUNT (num_walls + 1 small prefixes) instead of per proposal (K
+        # large prefixes) — exact, and ~K/num_walls less work.
+        rank = jnp.cumsum(valid.astype(jnp.int32))          # (K,) 1-based
+        W1 = num_walls + 1
+        # Acceptance rank of each wall (num_walls+1 if never proposed):
+        # its fresh proposal's rank.
+        wall_rank = jnp.sum(
+            jnp.where(fresh, rank[:, None], 0), axis=0)
+        wall_rank = jnp.where(wall_rank == 0, num_walls + 1, wall_rank)
+        # Each wall's (C, R, 4) edge pair is a static table.
+        wall_edges = np.zeros((num_walls, C, R, 4), dtype=bool)
+        for c in range(C):
+            for r in range(R):
+                for d in range(4):
+                    w = int(wall_id_np[c, r, d])
+                    if w >= 0:
+                        wall_edges[w, c, r, d] = True
+        # Door set after the first w accepted walls, for w = 0..num_walls.
+        incl = (
+            wall_rank[None, :]
+            <= jnp.arange(W1, dtype=jnp.int32)[:, None]
+        )  # (W1, num_walls)
+        doors_by_count = jnp.any(
+            incl[..., None, None, None] & jnp.asarray(wall_edges)[None],
+            axis=1,
+        )  # (W1, C, R, 4)
 
-        reach = jnp.zeros((K, C, R), dtype=jnp.bool_).at[:, 0, 0].set(True)
+        reach = jnp.zeros((W1, C, R), dtype=jnp.bool_).at[:, 0, 0].set(True)
         for _ in range(C * R - 1):
             spread = reach
             spread = spread | jnp.pad(
-                (reach & doors_prefix[..., 0])[:, :-1, :],
+                (reach & doors_by_count[..., 0])[:, :-1, :],
                 ((0, 0), (1, 0), (0, 0)))
             spread = spread | jnp.pad(
-                (reach & doors_prefix[..., 1])[:, :, :-1],
+                (reach & doors_by_count[..., 1])[:, :, :-1],
                 ((0, 0), (0, 0), (1, 0)))
             spread = spread | jnp.pad(
-                (reach & doors_prefix[..., 2])[:, 1:, :],
+                (reach & doors_by_count[..., 2])[:, 1:, :],
                 ((0, 0), (0, 1), (0, 0)))
             spread = spread | jnp.pad(
-                (reach & doors_prefix[..., 3])[:, :, 1:],
+                (reach & doors_by_count[..., 3])[:, :, 1:],
                 ((0, 0), (0, 0), (0, 1)))
             reach = spread
-        connected_after = jnp.all(reach, axis=(1, 2))  # (K,)
-        # First index whose prefix connects everything; if none within the
-        # cap, accept every valid proposal. 256 proposals leave a given
-        # interior wall door-less with p = (34/36)^256 ~ 5e-7 (the reference
-        # bounds at 5000 tries and raises, core/roomgrid.py:426,451).
-        kstar = jnp.where(
-            jnp.any(connected_after),
-            jnp.argmax(connected_after),
-            jnp.int32(K - 1),
+        connected_by_count = jnp.all(reach, axis=(1, 2))  # (W1,)
+        # Smallest wall count that connects everything; if none within the
+        # proposal cap, accept every valid proposal. 256 proposals leave a
+        # given interior wall door-less with p = (34/36)^256 ~ 5e-7 (the
+        # reference bounds at 5000 tries and raises, roomgrid.py:426,451).
+        wstar = jnp.where(
+            jnp.any(connected_by_count),
+            jnp.argmax(connected_by_count),
+            jnp.int32(num_walls),
         )
-        accepted = valid & (jnp.arange(K, dtype=jnp.int32) <= kstar)
+        # Sequential semantics: proposal k accepted iff valid and not yet
+        # connected before it, i.e. its rank is <= wstar.
+        accepted = valid & (rank <= wstar)
 
         # Render through static slots (walls are unique among accepted, so
         # there are no slot collisions).
