@@ -16,6 +16,7 @@ from ..core.constants import (
     NUM_BASE_COLORS,
     STATE_CLOSED,
     TYPE_DOOR,
+    TYPE_EMPTY,
     TYPE_KEY,
 )
 from ..core.state import MultiGridState
@@ -241,68 +242,123 @@ class PlaygroundEnv(RoomGrid):
 
     def _gen_grid(self, key: jax.Array) -> MultiGridState:
         """On-device layout (envs/playground.py:121-137): connect all rooms,
-        scatter 12 random objects, place agents anywhere (front-cell retry)."""
+        scatter 12 random objects, place agents anywhere (front-cell retry).
+
+        Structured to minimize sequential kernel count on the per-step
+        auto-reset path: loop-invariant masks (next-to-agent rejection,
+        front-cell predicate, the empty-cell base mask) are computed once,
+        each placement only ANDs its cell out of an incrementally maintained
+        validity mask, and object writes accumulate in a packed per-cell
+        value merged into the grid in one pass. Distribution is unchanged
+        (uniform over the valid set at each sequential placement, exactly as
+        the reference's rejection loops)."""
         geom = self.geometry
         cfg = self.cfg
         rs = geom.room_size
+        W, H = cfg.width, cfg.height
         k_connect, k_objs, k_agents = jax.random.split(key, 3)
 
         state = self._init_room_state(key)
         grid = self._connect_all_device(state.grid, k_connect)
+
+        # Batched draws for the 12 objects (playground.py:130-133).
+        kc, kr, kk, kcol, kp = jax.random.split(k_objs, 5)
+        cols = jax.random.randint(kc, (12,), 0, geom.num_cols, jnp.int32)
+        rows = jax.random.randint(kr, (12,), 0, geom.num_rows, jnp.int32)
+        kinds = TYPE_KEY + jax.random.randint(kk, (12,), 0, 3, jnp.int32)
+        colors = jax.random.randint(kcol, (12,), 0, NUM_BASE_COLORS, jnp.int32)
+        prio = jax.random.bits(kp, (12, W, H), dtype=jnp.uint32)
+
+        # Room rectangle masks from static geometry (one-hot over rooms).
+        cmask = (
+            jnp.arange(geom.num_cols, dtype=jnp.int32)[None, :] == cols[:, None]
+        )  # (12, C)
+        rmask = (
+            jnp.arange(geom.num_rows, dtype=jnp.int32)[None, :] == rows[:, None]
+        )
+        room_rects = jnp.asarray(self._room_rects())  # (C, R, W, H) static
+        rect = jnp.any(
+            (cmask[:, :, None, None, None] & rmask[:, None, :, None, None])
+            & room_rects[None], axis=(1, 2),
+        )  # (12, W, H)
+
+        # Base validity: empty cell, not adjacent to an agent (agents sit at
+        # the middle-room center during object placement). Maintained
+        # incrementally as objects land.
+        valid = (grid[..., 0] == TYPE_EMPTY) & ~next_to_agent_mask(
+            state.agent_pos, W, H)
+        placed = jnp.zeros((W, H), jnp.int32)  # packed kind<<4|color, +1
+        flat_iota = jnp.arange(W * H, dtype=jnp.int32)
+        for i in range(12):
+            g = jnp.where(valid & rect[i],
+                          (prio[i] >> 1) | jnp.uint32(1 << 31), jnp.uint32(0))
+            oh = (flat_iota == jnp.argmax(g.reshape(-1))).reshape(W, H)
+            packed = ((kinds[i] << 4) | colors[i]) + 1
+            placed = jnp.where(oh, packed, placed)
+            valid = valid & ~oh
+        obj_cell = jnp.stack([
+            (placed - 1) >> 4, (placed - 1) & 15, jnp.zeros_like(placed),
+        ], axis=-1)
+        grid = jnp.where((placed > 0)[..., None], obj_cell, grid)
         state = state.replace(grid=grid)
 
-        # 12 random objects in random rooms (playground.py:130-133):
-        # kind ∈ {key, ball, box}, random color, next-to-agent rejection.
-        obj_keys = jax.random.split(k_objs, 12)
-        room_tops = jnp.asarray(self._room_tops)
-        for i in range(12):
-            kc, kr, kk, kcol, kp = jax.random.split(obj_keys[i], 5)
-            col = jax.random.randint(kc, (), 0, geom.num_cols, jnp.int32)
-            row = jax.random.randint(kr, (), 0, geom.num_rows, jnp.int32)
-            kind = TYPE_KEY + jax.random.randint(kk, (), 0, 3, jnp.int32)
-            color = jax.random.randint(kcol, (), 0, NUM_BASE_COLORS, jnp.int32)
-            # One-hot room-top lookup (traced-index gathers serialize per env
-            # under vmap on the per-step auto-reset path).
-            rmask = (
-                (jnp.arange(geom.num_cols, dtype=jnp.int32)[:, None] == col)
-                & (jnp.arange(geom.num_rows, dtype=jnp.int32)[None, :] == row)
-            )
-            top = jnp.sum(
-                jnp.where(rmask[..., None], room_tops, 0), axis=(0, 1))
-            valid = place_obj_mask(
-                state.grid, state.agent_pos, top, (rs, rs))
-            valid = valid & ~next_to_agent_mask(
-                state.agent_pos, cfg.width, cfg.height)
-            pos = uniform_position(kp, valid)
-            state = state.replace(grid=set_cell(state.grid, pos, 
-                jnp.stack([kind, color, jnp.int32(0)])))
-
-        # Agents: random room, then uniform valid (pos, dir) with the
-        # front-cell predicate (core/roomgrid.py:373-404).
-        agent_keys = jax.random.split(k_agents, cfg.num_agents)
+        # Agents: random room, uniform valid (pos, dir) with the front-cell
+        # predicate (core/roomgrid.py:373-404). The grid is final now, so the
+        # front-cell mask is loop-invariant; placed agents (and the shared
+        # middle-center cell holding the still-unplaced ones) block cells
+        # through the same incremental mask.
+        kar, kap = jax.random.split(k_agents)
+        acols = jax.random.randint(
+            kar, (cfg.num_agents, 2), 0,
+            jnp.asarray([geom.num_cols, geom.num_rows]), dtype=jnp.int32)
+        aprio = jax.random.bits(
+            kap, (cfg.num_agents, W, H, 4), dtype=jnp.uint32)
+        front_ok = front_ok_mask(grid)  # (W, H, 4)
+        mid = jnp.asarray(geom.middle_pos(), dtype=jnp.int32)
+        mid_oh = (
+            (jnp.arange(W, dtype=jnp.int32)[:, None] == mid[0])
+            & (jnp.arange(H, dtype=jnp.int32)[None, :] == mid[1])
+        )
+        arect = jnp.any(
+            ((jnp.arange(geom.num_cols, dtype=jnp.int32)[None, :]
+              == acols[:, :1])[:, :, None, None, None]
+             & (jnp.arange(geom.num_rows, dtype=jnp.int32)[None, :]
+                == acols[:, 1:])[:, None, :, None, None])
+            & room_rects[None], axis=(1, 2),
+        )  # (N, W, H)
+        flat_iota4 = jnp.arange(W * H * 4, dtype=jnp.int32)
+        agent_pos = state.agent_pos
+        agent_dir = state.agent_dir
+        taken = jnp.zeros((W, H), jnp.bool_)
         for a in range(cfg.num_agents):
-            kc, kr, kp = jax.random.split(agent_keys[a], 3)
-            col = jax.random.randint(kc, (), 0, geom.num_cols, jnp.int32)
-            row = jax.random.randint(kr, (), 0, geom.num_rows, jnp.int32)
-            rmask = (
-                (jnp.arange(geom.num_cols, dtype=jnp.int32)[:, None] == col)
-                & (jnp.arange(geom.num_rows, dtype=jnp.int32)[None, :] == row)
-            )
-            top = jnp.sum(
-                jnp.where(rmask[..., None], room_tops, 0), axis=(0, 1))
-            # Clear this agent's own stale position first (base.py:687-691).
-            state = state.replace(
-                agent_pos=state.agent_pos.at[a].set(
-                    jnp.full((2,), -1, jnp.int32)))
-            valid_pos = place_obj_mask(
-                state.grid, state.agent_pos, top, (rs, rs))
-            valid = valid_pos[:, :, None] & front_ok_mask(state.grid)
-            pos, dirn = uniform_pos_dir(kp, valid)
-            state = state.replace(
-                agent_pos=state.agent_pos.at[a].set(pos),
-                agent_dir=state.agent_dir.at[a].set(dirn),
-            )
-        return state
+            # Unplaced agents (> a) still occupy the middle-center cell.
+            others_at_mid = mid_oh if a < cfg.num_agents - 1 \
+                else jnp.zeros_like(mid_oh)
+            vpos = valid & arect[a] & ~taken & ~others_at_mid
+            v4 = vpos[:, :, None] & front_ok
+            g = jnp.where(v4, (aprio[a] >> 1) | jnp.uint32(1 << 31),
+                          jnp.uint32(0))
+            flat = jnp.argmax(g.reshape(-1))
+            oh4 = (flat_iota4 == flat).reshape(W, H, 4)
+            pos = jnp.stack([flat // (H * 4), (flat // 4) % H]).astype(jnp.int32)
+            dirn = (flat % 4).astype(jnp.int32)
+            taken = taken | jnp.any(oh4, axis=-1)
+            agent_pos = agent_pos.at[a].set(pos)
+            agent_dir = agent_dir.at[a].set(dirn)
+        return state.replace(agent_pos=agent_pos, agent_dir=agent_dir)
+
+    def _room_rects(self):
+        """(C, R, W, H) static bool: cells inside each room's rectangle."""
+        geom = self.geometry
+        rs = geom.room_size
+        rects = np.zeros(
+            (geom.num_cols, geom.num_rows, self.cfg.width, self.cfg.height),
+            dtype=bool)
+        for c in range(geom.num_cols):
+            for r in range(geom.num_rows):
+                tx, ty = geom.room_top(c, r)
+                rects[c, r, tx:tx + rs, ty:ty + rs] = True
+        return rects
 
     # ------------------------------------------------------------ parity mode
 
