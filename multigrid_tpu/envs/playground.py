@@ -269,17 +269,15 @@ class PlaygroundEnv(RoomGrid):
         colors = jax.random.randint(kcol, (12,), 0, NUM_BASE_COLORS, jnp.int32)
         prio = jax.random.bits(kp, (12, W, H), dtype=jnp.uint32)
 
-        # Room rectangle masks from static geometry (one-hot over rooms).
-        cmask = (
-            jnp.arange(geom.num_cols, dtype=jnp.int32)[None, :] == cols[:, None]
-        )  # (12, C)
-        rmask = (
-            jnp.arange(geom.num_rows, dtype=jnp.int32)[None, :] == rows[:, None]
-        )
-        room_rects = jnp.asarray(self._room_rects())  # (C, R, W, H) static
-        rect = jnp.any(
-            (cmask[:, :, None, None, None] & rmask[:, None, :, None, None])
-            & room_rects[None], axis=(1, 2),
+        # Room rectangles straight from the drawn (col, row): top corner is
+        # affine in the draw, so each rect is four comparisons — no big
+        # one-hot-over-rooms intermediates.
+        gx = jnp.arange(W, dtype=jnp.int32)[None, :, None]
+        gy = jnp.arange(H, dtype=jnp.int32)[None, None, :]
+        tx = (cols * (rs - 1))[:, None, None]
+        ty = (rows * (rs - 1))[:, None, None]
+        rect = (
+            (gx >= tx) & (gx < tx + rs) & (gy >= ty) & (gy < ty + rs)
         )  # (12, W, H)
 
         # Base validity: empty cell, not adjacent to an agent (agents sit at
@@ -319,12 +317,10 @@ class PlaygroundEnv(RoomGrid):
             (jnp.arange(W, dtype=jnp.int32)[:, None] == mid[0])
             & (jnp.arange(H, dtype=jnp.int32)[None, :] == mid[1])
         )
-        arect = jnp.any(
-            ((jnp.arange(geom.num_cols, dtype=jnp.int32)[None, :]
-              == acols[:, :1])[:, :, None, None, None]
-             & (jnp.arange(geom.num_rows, dtype=jnp.int32)[None, :]
-                == acols[:, 1:])[:, None, :, None, None])
-            & room_rects[None], axis=(1, 2),
+        atx = (acols[:, 0] * (rs - 1))[:, None, None]
+        aty = (acols[:, 1] * (rs - 1))[:, None, None]
+        arect = (
+            (gx >= atx) & (gx < atx + rs) & (gy >= aty) & (gy < aty + rs)
         )  # (N, W, H)
         flat_iota4 = jnp.arange(W * H * 4, dtype=jnp.int32)
         agent_pos = state.agent_pos
@@ -346,19 +342,6 @@ class PlaygroundEnv(RoomGrid):
             agent_pos = agent_pos.at[a].set(pos)
             agent_dir = agent_dir.at[a].set(dirn)
         return state.replace(agent_pos=agent_pos, agent_dir=agent_dir)
-
-    def _room_rects(self):
-        """(C, R, W, H) static bool: cells inside each room's rectangle."""
-        geom = self.geometry
-        rs = geom.room_size
-        rects = np.zeros(
-            (geom.num_cols, geom.num_rows, self.cfg.width, self.cfg.height),
-            dtype=bool)
-        for c in range(geom.num_cols):
-            for r in range(geom.num_rows):
-                tx, ty = geom.room_top(c, r)
-                rects[c, r, tx:tx + rs, ty:ty + rs] = True
-        return rects
 
     # ------------------------------------------------------------ parity mode
 
