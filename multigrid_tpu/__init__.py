@@ -16,11 +16,13 @@ from .core import (
     State,
     Type,
 )
+from .envs import CONFIGURATIONS, make
 from .envs.env import MultiGridEnv
+from .parallel import VectorEnv
 
 __version__ = '0.1.0'
 
 __all__ = [
-    'Action', 'Color', 'Direction', 'EnvConfig', 'MultiGridEnv',
-    'MultiGridState', 'State', 'Type',
+    'Action', 'CONFIGURATIONS', 'Color', 'Direction', 'EnvConfig',
+    'MultiGridEnv', 'MultiGridState', 'State', 'Type', 'VectorEnv', 'make',
 ]
