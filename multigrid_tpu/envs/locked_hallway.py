@@ -113,12 +113,26 @@ class LockedHallwayEnv(RoomGrid):
         door_colors_pool = jax.random.permutation(k_doors, color_sequence)
         door_color = door_colors_pool[::-1]  # room r gets pop() number r
 
-        grid = jnp.asarray(self._base_grid)
-        door_pos = jnp.asarray(self._door_pos)
+        # Door positions are a static numpy table: expand the traced door
+        # colors onto their cells through a constant (nr, W, H) indicator and
+        # merge with one fused select — no scatters (even static-index
+        # .at[x, y].set lowers to one under vmap; tests/test_hlo_guard.py).
+        W, H = self.cfg.width, self.cfg.height
+        door_cells = np.zeros((nr, W, H), dtype=bool)
         for r in range(nr):
-            grid = grid.at[door_pos[r, 0], door_pos[r, 1]].set(
-                jnp.stack([jnp.int32(TYPE_DOOR), door_color[r],
-                           jnp.int32(STATE_LOCKED)]))
+            door_cells[r, self._door_pos[r, 0], self._door_pos[r, 1]] = True
+        cell_color = jnp.sum(
+            jnp.asarray(door_cells, jnp.int32) * door_color[:, None, None],
+            axis=0,
+        )
+        door_cell = jnp.stack([
+            jnp.full((W, H), TYPE_DOOR, jnp.int32),
+            cell_color,
+            jnp.full((W, H), STATE_LOCKED, jnp.int32),
+        ], axis=-1)
+        is_door = jnp.asarray(door_cells.any(axis=0))
+        grid = jnp.where(
+            is_door[..., None], door_cell, jnp.asarray(self._base_grid))
 
         state = self._init_room_state(key, base_grid=grid)
 
@@ -202,7 +216,10 @@ class LockedHallwayEnv(RoomGrid):
         # encodings come from static (constant-index) slicing; the per-agent
         # forward cell is matched against them with masks — no per-env
         # gathers/scatters (see ops/step.py TPU note).
-        door_encs = state.grid[self._door_pos[:, 0], self._door_pos[:, 1]]
+        # Static per-door indexing (plain slices), not fancy-index gathers.
+        door_encs = jnp.stack([
+            state.grid[int(x), int(y)] for x, y in self._door_pos
+        ])
         dir4 = jnp.arange(4, dtype=jnp.int32)
         for i in range(cfg.num_agents):
             doh = (dir4 == state.agent_dir[i])[:, None]
@@ -226,7 +243,8 @@ class LockedHallwayEnv(RoomGrid):
             if cfg.joint_reward:
                 rewards = rewards + add
             else:
-                rewards = rewards.at[i].add(add)
+                rewards = rewards + jnp.where(
+                    jnp.arange(cfg.num_agents) == i, add, 0.0)
             unlocked = unlocked | (matches & fire)
 
         all_unlocked = jnp.all(unlocked)

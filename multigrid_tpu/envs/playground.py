@@ -189,7 +189,10 @@ class PlaygroundEnv(RoomGrid):
             axis=1,
         )  # (W1, C, R, 4)
 
-        reach = jnp.zeros((W1, C, R), dtype=jnp.bool_).at[:, 0, 0].set(True)
+        reach = jnp.broadcast_to(
+            (jnp.arange(C)[:, None] == 0) & (jnp.arange(R)[None, :] == 0),
+            (W1, C, R),
+        )
         for _ in range(C * R - 1):
             spread = reach
             spread = spread | jnp.pad(
@@ -228,17 +231,23 @@ class PlaygroundEnv(RoomGrid):
         slot_vals = jnp.sum(
             slot_hit.astype(jnp.int32) * (colors[:, None] + 1), axis=0)
 
+        # One fused select over the whole grid: expand the per-slot packed
+        # values onto their static cells with a constant (num_slots, W, H)
+        # indicator built host-side — no per-slot writes at all.
+        W, H = self.cfg.width, self.cfg.height
+        slot_cells = np.zeros((num_slots, W, H), dtype=bool)
         for sidx in range(num_slots):
-            x, y = int(slot_pos[sidx, 0]), int(slot_pos[sidx, 1])
-            val = slot_vals[sidx]
-            cell = jnp.where(
-                val > 0,
-                jnp.stack([jnp.int32(TYPE_DOOR), val - 1,
-                           jnp.int32(STATE_CLOSED)]),
-                grid[x, y],
-            )
-            grid = grid.at[x, y].set(cell)
-        return grid
+            slot_cells[sidx, slot_pos[sidx, 0], slot_pos[sidx, 1]] = True
+        cell_val = jnp.sum(
+            jnp.asarray(slot_cells, jnp.int32) * slot_vals[:, None, None],
+            axis=0,
+        )  # (W, H): color+1 where a door landed, else 0
+        door_cell = jnp.stack([
+            jnp.full((W, H), TYPE_DOOR, jnp.int32),
+            cell_val - 1,
+            jnp.full((W, H), STATE_CLOSED, jnp.int32),
+        ], axis=-1)
+        return jnp.where((cell_val > 0)[..., None], door_cell, grid)
 
     def _gen_grid(self, key: jax.Array) -> MultiGridState:
         """On-device layout (envs/playground.py:121-137): connect all rooms,
@@ -339,8 +348,9 @@ class PlaygroundEnv(RoomGrid):
             pos = jnp.stack([flat // (H * 4), (flat // 4) % H]).astype(jnp.int32)
             dirn = (flat % 4).astype(jnp.int32)
             taken = taken | jnp.any(oh4, axis=-1)
-            agent_pos = agent_pos.at[a].set(pos)
-            agent_dir = agent_dir.at[a].set(dirn)
+            sel = jnp.arange(cfg.num_agents, dtype=jnp.int32) == a
+            agent_pos = jnp.where(sel[:, None], pos[None, :], agent_pos)
+            agent_dir = jnp.where(sel, dirn, agent_dir)
         return state.replace(agent_pos=agent_pos, agent_dir=agent_dir)
 
     # ------------------------------------------------------------ parity mode

@@ -31,9 +31,12 @@ class RedBlueDoorsEnv(MultiGridEnv):
     """Open the red door then the blue door (envs/redbluedoors.py:104-187).
 
     Registered: ``MultiGrid-RedBlueDoors-{6x6,8x8}-v0``.
+    Layout generation is rejection-sampled (doors + agent placement), so
+    auto-reset amortizes through the VectorEnv reserve pool.
     """
 
     mission = "open the red door then the blue door"
+    procedural_reset = True
 
     def __init__(
         self,
@@ -130,10 +133,12 @@ class RedBlueDoorsEnv(MultiGridEnv):
                 cfg, oh, success, state.agent_terminated, rewards, reward_value)
             terminated = apply_failure(cfg, oh, failure, terminated)
             # Failure closes the blue door again (redbluedoors.py:186).
-            new_state_ch = jnp.where(
-                failure & blue_mask, STATE_CLOSED, state.grid[..., 2])
+            # Channel select via iota mask (.at[..., 2].set is a scatter).
+            ch2 = jnp.arange(3) == 2
             state = state.replace(
-                grid=state.grid.at[..., 2].set(new_state_ch),
+                grid=jnp.where(
+                    (failure & blue_mask)[..., None] & ch2,
+                    STATE_CLOSED, state.grid),
                 agent_terminated=terminated,
             )
 

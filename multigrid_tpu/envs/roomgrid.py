@@ -203,13 +203,17 @@ def place_agents_device(
     core/roomgrid.py:373-404)."""
     n = state.num_agents
     keys = jax.random.split(key, n)
+    # Per-agent writes are one-hot selects over the (tiny) agent axis — even
+    # static-index .at[a].set lowers to a scatter under vmap, and this runs
+    # on the per-step auto-reset path (tests/test_hlo_guard.py pins zero).
+    sel = jnp.arange(n, dtype=jnp.int32)
     for a in range(n):
         # Clear this agent's own stale position first (the reference's
         # place_agent sets pos=(-1,-1) before sampling, base.py:687-691;
         # otherwise the agent could never be re-placed on its own cell).
         state = state.replace(
-            agent_pos=state.agent_pos.at[a].set(
-                jnp.full((2,), -1, jnp.int32)))
+            agent_pos=jnp.where(
+                (sel == a)[:, None], jnp.int32(-1), state.agent_pos))
         valid_pos = place_obj_mask(state.grid, state.agent_pos, top, size)
         if check_front:
             valid = valid_pos[:, :, None] & front_ok_mask(state.grid)
@@ -219,8 +223,9 @@ def place_agents_device(
             pos = uniform_position(k1, valid_pos)
             dirn = jax.random.randint(k2, (), 0, 4, dtype=jnp.int32)
         state = state.replace(
-            agent_pos=state.agent_pos.at[a].set(pos),
-            agent_dir=state.agent_dir.at[a].set(dirn),
+            agent_pos=jnp.where(
+                (sel == a)[:, None], pos[None, :], state.agent_pos),
+            agent_dir=jnp.where(sel == a, dirn, state.agent_dir),
         )
     return state
 
@@ -245,6 +250,8 @@ def place_object_device(
 
 class RoomGrid(MultiGridEnv):
     """Base class for environments built on a room lattice."""
+
+    procedural_reset = True  # amortize auto-reset layouts (parallel/vector.py)
 
     def __init__(
         self,

@@ -119,28 +119,33 @@ def get_vis_mask(obs_grid: jax.Array) -> jax.Array:
     visibility sideways and into the next row up (straight and diagonal).
     The in-place semantics make each pass a directional fixpoint, computed
     here as ``vs - 1`` shift-OR steps.
+
+    Columns are carried functionally (a Python list stacked at the end) so
+    the kernel lowers to pure elementwise/select ops — zero scatters, even
+    constant-index ones (tests/test_hlo_guard.py pins this).
     """
     vs = obs_grid.shape[-2]
     see = see_behind_mask(obs_grid)  # (..., vs_i, vs_j)
-    vis = jnp.zeros(see.shape, dtype=jnp.bool_)
-    vis = vis.at[..., vs // 2, vs - 1].set(True)  # agent's own cell
+    ii = jnp.arange(vs)
 
     # Iterate columns j from bottom (vs-1) to top (0); operate on i-rows.
+    # ``carry`` is the visibility contributed to column j by the pass over
+    # column j+1; the bottom column starts from the agent's own cell.
+    cols: list[jax.Array] = [None] * vs  # type: ignore[list-item]
+    carry = jnp.broadcast_to(ii == vs // 2, see[..., :, vs - 1].shape)
     for j in range(vs - 1, -1, -1):
-        row = vis[..., :, j]
         s = see[..., :, j]
-        f = _propagate(row, s, _shift_up, vs - 1)       # forward pass fixpoint
+        f = _propagate(carry, s, _shift_up, vs - 1)     # forward pass fixpoint
         b = _propagate(f, s, _shift_down, vs - 1)       # backward pass fixpoint
-        vis = vis.at[..., :, j].set(b)
+        cols[j] = b
         if j > 0:
             # Forward pass: checks i in [0, vs-2]; lights (i, j-1), (i+1, j-1).
-            cf = (f & s).at[..., vs - 1].set(False)
+            cf = f & s & (ii != vs - 1)
             # Backward pass: checks i in [1, vs-1]; lights (i-1, j-1), (i, j-1).
-            cb = (b & s).at[..., 0].set(False)
-            contrib = cf | _shift_up(cf) | cb | _shift_down(cb)
-            vis = vis.at[..., :, j - 1].set(vis[..., :, j - 1] | contrib)
+            cb = b & s & (ii != 0)
+            carry = cf | _shift_up(cf) | cb | _shift_down(cb)
 
-    return vis
+    return jnp.stack(cols, axis=-1)
 
 
 def _overlay_agents(state: MultiGridState) -> jax.Array:
@@ -224,13 +229,16 @@ def gen_obs_grid(
     grid = _overlay_agents(state) if n > 1 else state.grid
 
     # 2. Wall-pad the grid so out-of-bounds view cells read as walls
-    #    (obs.py:199-202). Static-offset update: not a scatter. int8 packed:
-    #    (wp, hp*3) with channels interleaved along the minor axis.
+    #    (obs.py:199-202). jnp.pad + border select (a constant-offset
+    #    dynamic_update_slice re-lowers to a scatter under vmap). int8
+    #    packed: (wp, hp*3) with channels interleaved along the minor axis.
     wall = jnp.asarray(WALL_ENCODING, dtype=jnp.int8)
-    big = jnp.broadcast_to(wall, (wp, hp, 3))
-    big = jax.lax.dynamic_update_slice(
-        big, grid.astype(jnp.int8), (vs, vs, 0)
-    ).reshape(wp, hp * 3)
+    inside = (
+        ((jnp.arange(wp) >= vs) & (jnp.arange(wp) < vs + w))[:, None]
+        & ((jnp.arange(hp) >= vs) & (jnp.arange(hp) < vs + h))[None, :]
+    )
+    big = jnp.pad(grid.astype(jnp.int8), ((vs, vs), (vs, vs), (0, 0)))
+    big = jnp.where(inside[..., None], big, wall).reshape(wp, hp * 3)
 
     top_x, top_y = get_view_exts(state.agent_dir, state.agent_pos, vs)
 
@@ -254,9 +262,14 @@ def gen_obs_grid(
 
     # 5. Carried-object overlay at the agent's own view cell (obs.py:204-207)
     #    — written unconditionally, empty encoding when hands are free.
-    #    Static indices: a plain strided update. int32 only at the boundary.
-    out = out.at[:, vs // 2, vs - 1].set(
-        state.agent_carrying.astype(jnp.int8)
+    #    One-hot select on the (static) cell: pure elementwise, no scatter.
+    own_cell = (
+        (jnp.arange(vs) == vs // 2)[:, None] & (jnp.arange(vs) == vs - 1)[None, :]
+    )
+    out = jnp.where(
+        own_cell[None, :, :, None],
+        state.agent_carrying.astype(jnp.int8)[:, None, None, :],
+        out,
     )
     return out.astype(jnp.int32)
 

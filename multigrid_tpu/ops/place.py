@@ -27,7 +27,11 @@ def agent_occupancy(agent_pos: jax.Array, width: int, height: int) -> jax.Array:
     """
     cx = jnp.arange(width, dtype=jnp.int32)[:, None, None]
     cy = jnp.arange(height, dtype=jnp.int32)[None, :, None]
-    hit = (cx == agent_pos[None, None, :, 0]) & (cy == agent_pos[None, None, :, 1])
+    # NB: index the coordinate axis with `[..., k]`, not `[None, None, :, k]`
+    # — mixing None with an int index falls off jnp's slice fast path and
+    # lowers to a (constant-index) gather under vmap.
+    hit = (cx == agent_pos[..., 0][None, None, :]) \
+        & (cy == agent_pos[..., 1][None, None, :])
     return jnp.any(hit, axis=-1)
 
 

@@ -88,17 +88,12 @@ def fully_obs_image(state: MultiGridState) -> jax.Array:
     """Full-grid encoding with live agents overlaid (wrappers.py:41-55).
 
     Agents are written in index order (later index wins on overlap),
-    skipping terminated agents, matching the reference's loop.
-    """
-    grid = state.grid
-    enc = state.agent_encoding
-    for a in range(state.num_agents):
-        x, y = state.agent_pos[a, 0], state.agent_pos[a, 1]
-        cur = grid[x, y]
-        grid = grid.at[x, y].set(
-            jnp.where(state.agent_terminated[a], cur, enc[a])
-        )
-    return grid
+    skipping terminated agents, matching the reference's loop. Delegates to
+    the obs kernel's one-hot masked overlay — per-env traced positions must
+    never reach ``.at[x, y].set`` (a scatter per env under vmap; this runs
+    inside the jitted VectorEnv step)."""
+    from .ops.obs import _overlay_agents
+    return _overlay_agents(state)
 
 
 class FullyObsWrapper(ObservationWrapper):
