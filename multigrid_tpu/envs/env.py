@@ -38,6 +38,11 @@ class MultiGridEnv(abc.ABC):
     #: override :meth:`mission_of` instead.
     mission: str = "maximize reward"
 
+    #: True when ``_gen_grid`` does expensive procedural generation —
+    #: VectorEnv then amortizes auto-reset layouts through its reserve pool
+    #: instead of regenerating every env's layout every step.
+    procedural_reset: bool = False
+
     def __init__(
         self,
         *,
@@ -102,6 +107,22 @@ class MultiGridEnv(abc.ABC):
         from ..core.mission import MissionSpace
         return MissionSpace.from_string(self.mission)
 
+    def mission_index(self, state: MultiGridState) -> jax.Array | None:
+        """Per-episode index into :attr:`mission_space`, or None when the
+        mission is static. Mission-parameterized environments override this
+        so batched training can condition on the mission (the reference's
+        obs carry the mission, base.py:368-376)."""
+        return None
+
+    def attach_mission(self, obs, state: MultiGridState):
+        """Add the per-agent mission index to an observation dict (no-op for
+        static-mission environments)."""
+        mi = self.mission_index(state)
+        if mi is None or not isinstance(obs, dict):
+            return obs
+        return {**obs, 'mission': jnp.broadcast_to(
+            jnp.asarray(mi, jnp.int32), (self.cfg.num_agents,))}
+
     def transform_obs(self, obs, state: MultiGridState):
         """Observation post-processing hook; identity for base environments.
 
@@ -143,7 +164,7 @@ class MultiGridEnv(abc.ABC):
     def reset(self, key: jax.Array):
         """Start a new episode. Returns ``(obs, state)`` (base.py:250-301)."""
         state = self.reset_core(key)
-        obs = gen_obs(self.cfg, state)
+        obs = self.attach_mission(gen_obs(self.cfg, state), state)
         return obs, state
 
     @functools.partial(jax.jit, static_argnums=0)
@@ -181,7 +202,7 @@ class MultiGridEnv(abc.ABC):
     @functools.partial(jax.jit, static_argnums=0)
     def observe(self, state: MultiGridState):
         """Generate observations for an existing state (base.py:348-376)."""
-        return gen_obs(self.cfg, state)
+        return self.attach_mission(gen_obs(self.cfg, state), state)
 
     def step_core(self, state, actions, order, action_mask=None):
         """Dynamics + post-step hook WITHOUT observation generation.
@@ -209,7 +230,7 @@ class MultiGridEnv(abc.ABC):
         obs_state, state, rewards, terms, truncs = self.step_core(
             state, actions, order, action_mask
         )
-        obs = gen_obs(self.cfg, obs_state)
+        obs = self.attach_mission(gen_obs(self.cfg, obs_state), obs_state)
         return obs, state, rewards, terms, truncs
 
     # ---------------------------------------------------------------- helpers

@@ -31,6 +31,12 @@ from ..ops.obs import gen_obs
 from ..ops.step import sample_order
 from .mesh import env_sharding, make_mesh
 
+#: Keys the VectorEnv smuggles through ``state.extras`` for the amortized
+#: reset pool; stripped before any per-env vmapped code sees the state.
+_RESERVE = '_vec:reserve'
+_GSTEP = '_vec:gstep'
+_RKEY = '_vec:rkey'
+
 
 class VectorEnv:
     """``num_envs`` lockstep copies of an environment, as pure functions.
@@ -56,12 +62,23 @@ class VectorEnv:
         auto_reset: bool = True,
         mesh: Mesh | None = None,
         use_pallas_obs: bool | None = None,
+        reset_pool: bool | None = None,
+        reset_pool_period: int = 64,
     ):
         self.env = env
         self.num_envs = num_envs
         self.auto_reset = auto_reset
         self.mesh = mesh
         self._sharding = env_sharding(mesh) if mesh is not None else None
+        if reset_pool is None:
+            # Procedurally generated layouts (RoomGrid families) are far too
+            # expensive to regenerate for every env every step — amortize
+            # them through the reserve pool. Cheap layouts (Empty) keep the
+            # exact every-step reset.
+            reset_pool = bool(getattr(env, 'procedural_reset', False))
+        self.reset_pool = reset_pool and auto_reset
+        assert reset_pool_period >= 1
+        self.reset_pool_period = reset_pool_period
         if use_pallas_obs is None:
             # The fused kernel requires a TPU backend and block-divisible
             # per-shard env batches (under a mesh it runs inside shard_map,
@@ -71,13 +88,29 @@ class VectorEnv:
             from ..core.constants import Color
             from ..ops.obs_pallas import supports_batch
             shards = mesh.devices.size if mesh is not None else 1
-            use_pallas_obs = (
-                jax.default_backend() not in ('cpu', 'gpu')
-                and num_envs % shards == 0
-                and supports_batch(num_envs // shards)
-                and env.num_agents <= 8
-                and len(Color) <= 16
-            )
+            gates = {
+                'backend is not TPU':
+                    jax.default_backend() in ('cpu', 'gpu'),
+                f'num_envs={num_envs} not divisible by {shards} mesh shards':
+                    num_envs % shards != 0,
+                f'per-shard batch {num_envs // max(shards, 1)} not supported '
+                f'by the kernel (needs %128 == 0 or small)':
+                    num_envs % shards == 0
+                    and not supports_batch(num_envs // shards),
+                f'num_agents={env.num_agents} > 8': env.num_agents > 8,
+                f'{len(Color)} colors > 16': len(Color) > 16,
+            }
+            failed = [msg for msg, hit in gates.items() if hit]
+            use_pallas_obs = not failed
+            if failed and jax.default_backend() not in ('cpu', 'gpu'):
+                # On TPU, silently losing the fused obs kernel costs ~7× on
+                # the obs path — say why, once per constructor call.
+                import warnings
+                warnings.warn(
+                    'VectorEnv: falling back to the (slower) XLA observation '
+                    'path — ' + '; '.join(failed),
+                    stacklevel=2,
+                )
         self.use_pallas_obs = use_pallas_obs
 
     @classmethod
@@ -99,11 +132,75 @@ class VectorEnv:
     @functools.partial(jax.jit, static_argnums=0)
     def reset(self, key: jax.Array):
         """Reset all envs. Returns ``(obs, state)`` with leading (E, ...)."""
+        key, pool_key = jax.random.split(key)
         keys = jax.random.split(key, self.num_envs)
         if self._sharding is not None:
             keys = jax.lax.with_sharding_constraint(keys, self._sharding)
         obs, state = jax.vmap(self.env.reset)(keys)
+        if self.reset_pool:
+            state = self._attach_pool(state, pool_key)
         return self._constrain((obs, state))
+
+    # -------------------------------------------------- amortized reset pool
+    #
+    # Procedural layout generation (RoomGrid's connect_all + sequential
+    # placements) dominates the step when recomputed for every env every
+    # step. The pool amortizes it: each env carries one pregenerated "next
+    # layout" (the reserve); auto-reset consumes it with the same free
+    # predicated select, and every step only ``num_envs / reset_pool_period``
+    # reserves are regenerated (a rotating slice — one dynamic_update_slice,
+    # not per-env scatters). Distribution per consumed layout is identical to
+    # a fresh reset (same generator, independent key); the one deviation is
+    # staleness: an env finishing twice within ``reset_pool_period`` steps
+    # replays its previous reserve layout (with fresh step RNG). Periods well
+    # under typical episode length make that rare-to-impossible.
+
+    def _attach_pool(self, state: MultiGridState, key: jax.Array):
+        """Generate the initial reserve and stash pool state in extras."""
+        k_res, k_stream = jax.random.split(key)
+        reserve = jax.vmap(self.env.reset_core)(
+            jax.random.split(k_res, self.num_envs))
+        # Store key material as raw uint32 so pool leaves support
+        # dynamic_update_slice during refresh.
+        reserve = reserve.replace(rng=jax.random.key_data(reserve.rng))
+        return state.replace(extras={
+            **state.extras,
+            _RESERVE: reserve,
+            _GSTEP: jnp.zeros((self.num_envs,), jnp.int32),
+            _RKEY: jax.random.key_data(
+                jax.random.split(k_stream, self.num_envs)),
+        })
+
+    @staticmethod
+    def _strip_pool(state: MultiGridState):
+        """Detach pool entries so per-env vmapped code never sees them."""
+        extras = dict(state.extras)
+        pool = {
+            k: extras.pop(k) for k in (_RESERVE, _GSTEP, _RKEY)
+            if k in extras
+        }
+        if pool:
+            state = state.replace(extras=extras)
+        return state, pool
+
+    def _refresh_pool(self, pool: dict, new_state: MultiGridState):
+        """Regenerate a rotating slice of the reserve; bump the step counter."""
+        e = self.num_envs
+        c = max(1, e // self.reset_pool_period)
+        n_slices = -(-e // c)
+        g0 = pool[_GSTEP][0]
+        start = (g0 % n_slices) * c  # dynamic_slice clamps the tail slice
+        keys = jax.random.wrap_key_data(
+            jax.lax.dynamic_slice_in_dim(pool[_RKEY], start, c, 0))
+        fresh_keys = jax.vmap(lambda k: jax.random.fold_in(k, g0))(keys)
+        fresh = jax.vmap(self.env.reset_core)(fresh_keys)
+        fresh = fresh.replace(rng=jax.random.key_data(fresh.rng))
+        reserve = jax.tree.map(
+            lambda r, f: jax.lax.dynamic_update_slice_in_dim(r, f, start, 0),
+            pool[_RESERVE], fresh,
+        )
+        return {_RESERVE: reserve, _GSTEP: pool[_GSTEP] + 1,
+                _RKEY: pool[_RKEY]}
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def step(self, state: MultiGridState, actions: jax.Array):
@@ -125,6 +222,8 @@ class VectorEnv:
         (obs, state, rewards, terminations, truncations, done)
         """
 
+        state, pool = self._strip_pool(state)
+
         def one(s, a):
             order_key, rng = jax.random.split(s.rng)
             order = sample_order(order_key, self.env.cfg.num_agents)
@@ -134,12 +233,20 @@ class VectorEnv:
         obs_state, new_state, rew, term, trunc = jax.vmap(one)(state, actions)
         done = jnp.all(term, axis=-1) | jnp.any(trunc, axis=-1)
         if self.auto_reset:
-            # One fixed-cost reset computed for every env each step; envs that
-            # aren't done keep their stepped state via the predicated select.
-            reset_key = jax.vmap(
-                lambda s: jax.random.fold_in(s.rng, 0)
-            )(new_state)
-            reset_state = jax.vmap(self.env.reset_core)(reset_key)
+            if pool:
+                # Consume the pregenerated reserve: a free predicated select.
+                # Fresh per-env step RNG even if a stale reserve is replayed.
+                folded = jax.vmap(
+                    lambda k: jax.random.fold_in(k, 1)
+                )(new_state.rng)
+                reset_state = pool[_RESERVE].replace(rng=folded)
+            else:
+                # Exact path: one fixed-cost reset computed for every env
+                # each step (fine for cheap layouts).
+                reset_key = jax.vmap(
+                    lambda s: jax.random.fold_in(s.rng, 0)
+                )(new_state)
+                reset_state = jax.vmap(self.env.reset_core)(reset_key)
 
             def sel(r, s):
                 d = done.reshape(done.shape + (1,) * (r.ndim - 1))
@@ -148,7 +255,12 @@ class VectorEnv:
             new_state = jax.tree.map(sel, reset_state, new_state)
             obs_state = jax.tree.map(sel, reset_state, obs_state)
         obs = self._gen_obs_batched(obs_state)
+        obs = jax.vmap(self.env.attach_mission)(obs, obs_state)
         obs = jax.vmap(self.env.transform_obs)(obs, obs_state)
+        if pool:
+            pool = self._refresh_pool(pool, new_state)
+            new_state = new_state.replace(
+                extras={**new_state.extras, **pool})
         return self._constrain((obs, new_state, rew, term, trunc, done))
 
     def _gen_obs_batched(self, state: MultiGridState, interpret: bool = False):
@@ -182,6 +294,7 @@ class VectorEnv:
 
     @functools.partial(jax.jit, static_argnums=0)
     def observe(self, state: MultiGridState):
+        state, _ = self._strip_pool(state)
         return self._constrain(jax.vmap(self.env.observe)(state))
 
     # ------------------------------------------------------------ rollouts

@@ -84,3 +84,59 @@ def test_rollout_random():
     state, summary = venv.rollout_random(state, jax.random.key(5), 64)
     assert int(summary['episodes']) >= 0
     assert state.grid.shape == (8, 8, 8, 3)
+
+
+# ----------------------------------------------------- amortized reset pool
+
+
+def test_reset_pool_defaults():
+    """RoomGrid families opt into the pool; cheap layouts stay exact."""
+    assert VectorEnv(make('MultiGrid-Playground-v0', agents=2), 4).reset_pool
+    assert VectorEnv(
+        make('MultiGrid-RedBlueDoors-6x6-v0', agents=2), 4).reset_pool
+    assert not VectorEnv(make('MultiGrid-Empty-8x8-v0', agents=1), 4).reset_pool
+
+
+def test_reset_pool_auto_reset():
+    """Done envs swap in a pregenerated (valid, fresh) layout."""
+    from multigrid_tpu.core.constants import TYPE_DOOR
+
+    env = make('MultiGrid-Playground-v0', agents=2, max_steps=3)
+    venv = VectorEnv(env, 4, reset_pool_period=2)
+    _, state = venv.reset(jax.random.key(0))
+    first_grid = np.asarray(state.grid)
+    for _ in range(3):
+        actions = jnp.zeros((4, 2), dtype=jnp.int32)
+        _, state, rew, term, trunc, done = venv.step(state, actions)
+    assert bool(done.all())  # truncation at max_steps=3
+    assert int(state.step_count.max()) == 0
+    grid = np.asarray(state.grid)
+    # The swapped-in layouts are real Playground layouts: connected rooms
+    # mean every env has doors; agents are placed on empty cells.
+    assert (grid[..., 0] == TYPE_DOOR).any(axis=(1, 2)).all()
+    assert (np.asarray(state.agent_pos) >= 0).all()
+    # And they are fresh draws, not the original layouts.
+    assert (grid != first_grid).any()
+
+
+def test_reset_pool_determinism_and_refresh():
+    """Same seed/actions → identical trajectories; consecutive episodes get
+    different layouts once the refresh cycle has passed."""
+    env = make('MultiGrid-BlockedUnlockPickup-v0', agents=2, max_steps=4)
+    grids = []
+    for _ in range(2):
+        venv = VectorEnv(env, 4, reset_pool_period=2)
+        _, state = venv.reset(jax.random.key(7))
+        seen = []
+        for t in range(12):
+            actions = jnp.full((4, 2), 6, dtype=jnp.int32)  # idle
+            _, state, *_, done = venv.step(state, actions)
+            if bool(done.all()):
+                seen.append(np.asarray(state.grid).copy())
+        grids.append(seen)
+    assert len(grids[0]) == 3  # episodes of length 4 in 12 steps
+    for a, b in zip(grids[0], grids[1]):
+        np.testing.assert_array_equal(a, b)  # deterministic under fixed seed
+    # Layouts differ between consecutive episodes (pool refreshed in time).
+    assert (grids[0][0] != grids[0][1]).any()
+    assert (grids[0][1] != grids[0][2]).any()
