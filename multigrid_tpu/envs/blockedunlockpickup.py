@@ -57,6 +57,12 @@ class BlockedUnlockPickupEnv(RoomGrid):
         color = Color.from_index(int(state.extras['mission_color'])).value
         return f"pick up the {color} box"
 
+    def mission_index(self, state: MultiGridState):
+        """Index into :attr:`mission_space` for batched training: the space
+        is the (color, type) product with type 'box' first, so the episode's
+        mission index is ``color_index * 2``."""
+        return state.extras['mission_color'] * 2
+
     @property
     def mission_space(self):
         """Missions over (color, object type) — the reference enumerates

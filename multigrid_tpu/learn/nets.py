@@ -50,17 +50,35 @@ class ActorCritic(nn.Module):
     hidden: int = 128
     encoder: str = 'cnn'
     dtype: jnp.dtype = jnp.bfloat16
+    #: Size of the env's mission space; 0 disables mission conditioning.
+    #: Mission-parameterized envs (e.g. BlockedUnlockPickup) surface the
+    #: per-episode mission index in the obs dict (the reference's obs carry
+    #: the mission string, base.py:368-376) — it enters the encoder as a
+    #: one-hot feature vector.
+    num_missions: int = 0
 
     @nn.compact
-    def __call__(self, image: jax.Array, direction: jax.Array):
+    def __call__(
+        self,
+        image: jax.Array,
+        direction: jax.Array,
+        mission: jax.Array | None = None,
+    ):
         x = one_hot_image(image, self.dtype)
         theta = direction.astype(self.dtype) * (jnp.pi / 2)
         dir_feats = jnp.stack([jnp.cos(theta), jnp.sin(theta)], axis=-1)
+        if self.num_missions > 0 and mission is not None:
+            dir_feats = jnp.concatenate([
+                dir_feats,
+                jax.nn.one_hot(mission, self.num_missions, dtype=self.dtype),
+            ], axis=-1)
 
         if self.encoder == 'cnn':
-            # Direction as constant feature planes (scripts/train.py:56-63).
+            # Direction (and mission) as constant feature planes
+            # (scripts/train.py:56-63).
             dir_planes = jnp.broadcast_to(
-                dir_feats[..., None, None, :], x.shape[:-1] + (2,)
+                dir_feats[..., None, None, :],
+                x.shape[:-1] + (dir_feats.shape[-1],)
             )
             x = jnp.concatenate([x, dir_planes], axis=-1)
             for feat in (16, 32, 64):

@@ -41,6 +41,11 @@ class PPOConfig:
     lr: float = 3e-4
     max_grad_norm: float = 0.5
     epochs: int = struct.field(pytree_node=False, default=1)
+    #: SGD minibatches per epoch (RLlib PPO reuses the batch in shuffled
+    #: minibatches; 1 = whole-batch updates). The (T·E) batch is flattened,
+    #: permuted per epoch and split — note the permutation crosses the
+    #: sharded env axis, so prefer 1 for multi-host meshes.
+    minibatches: int = struct.field(pytree_node=False, default=1)
     #: Independent parameters per agent (the reference's policy_{i}).
     per_agent_policies: bool = struct.field(pytree_node=False, default=False)
 
@@ -65,6 +70,8 @@ class Rollout:
     value: jax.Array
     reward: jax.Array
     done: jax.Array
+    #: Mission indices for mission-parameterized envs (None otherwise).
+    mission: jax.Array | None = None
 
 
 def clip_by_global_norm_per_agent(max_norm: float):
@@ -111,21 +118,28 @@ def ppo_init(
     agent slice. Default is shared-parameter self-play. (The keyword
     argument is a deprecated alias for the config field.)
     """
-    net = net or ActorCritic()
     config = config or PPOConfig()
     if per_agent_policies is not None:
         config = config.replace(per_agent_policies=per_agent_policies)
     k_env, k_net, k_train = jax.random.split(key, 3)
     obs, env_state = venv.reset(k_env)
+    if net is None:
+        # Mission-parameterized envs surface an index in the obs — size the
+        # conditioning one-hot from the env's mission space automatically.
+        num_missions = (
+            len(venv.env.mission_space) if 'mission' in obs else 0)
+        net = ActorCritic(num_missions=num_missions)
+    mission0 = obs['mission'][0, 0] if 'mission' in obs else None
     if config.per_agent_policies:
         net_keys = jax.random.split(k_net, venv.num_agents)
         params = jax.vmap(
-            lambda k: net.init(k, obs['image'][0, 0], obs['direction'][0, 0])
+            lambda k: net.init(
+                k, obs['image'][0, 0], obs['direction'][0, 0], mission0)
         )(net_keys)
         clip = clip_by_global_norm_per_agent(config.max_grad_norm)
     else:
         params = net.init(
-            k_net, obs['image'][0, 0], obs['direction'][0, 0]
+            k_net, obs['image'][0, 0], obs['direction'][0, 0], mission0
         )
         clip = optax.clip_by_global_norm(config.max_grad_norm)
     tx = optax.chain(clip, optax.adam(config.lr))
@@ -159,19 +173,24 @@ def make_train_step(
         config = config.replace(per_agent_policies=per_agent_policies)
 
     if config.per_agent_policies:
-        def apply_net(params, image, direction):
+        def apply_net(params, image, direction, mission=None):
             # image (..., N, vs, vs, 3), direction (..., N): agent axis to
             # front, one net application per agent's parameter slice.
             img = jnp.moveaxis(image, -4, 0)
             dirn = jnp.moveaxis(direction, -1, 0)
-            logits, value = jax.vmap(net.apply)(params, img, dirn)
+            mis = None if mission is None else jnp.moveaxis(mission, -1, 0)
+            logits, value = jax.vmap(
+                lambda p, i, d: net.apply(p, i, d)
+            )(params, img, dirn) if mis is None else jax.vmap(
+                net.apply)(params, img, dirn, mis)
             return jnp.moveaxis(logits, 0, -2), jnp.moveaxis(value, 0, -1)
     else:
         apply_net = net.apply
 
     def policy(params, obs):
         # obs arrays are (E, N, ...): flatten agents into the batch.
-        logits, value = apply_net(params, obs['image'], obs['direction'])
+        logits, value = apply_net(
+            params, obs['image'], obs['direction'], obs.get('mission'))
         return logits, value
 
     def rollout_phase(state: TrainState) -> tuple[TrainState, Rollout, jax.Array]:
@@ -190,6 +209,7 @@ def make_train_step(
                 image=obs['image'], direction=obs['direction'],
                 action=action, log_prob=log_prob, value=value,
                 reward=reward, done=done[:, None] | term,
+                mission=obs.get('mission'),
             )
             return (env_state, next_obs, key), step_data
 
@@ -219,7 +239,8 @@ def make_train_step(
         return advantages, advantages + traj.value
 
     def loss_fn(params, traj: Rollout, advantages, targets):
-        logits, value = apply_net(params, traj.image, traj.direction)
+        logits, value = apply_net(
+            params, traj.image, traj.direction, traj.mission)
         log_probs = jax.nn.log_softmax(logits)
         log_prob = jnp.take_along_axis(
             log_probs, traj.action[..., None], axis=-1
@@ -228,9 +249,12 @@ def make_train_step(
         if config.per_agent_policies:
             # Normalize within each agent's own batch — pooling the stats
             # across agents would couple the 'independent' policies through
-            # each other's reward statistics.
-            mu = advantages.mean(axis=(0, 1), keepdims=True)
-            sd = advantages.std(axis=(0, 1), keepdims=True)
+            # each other's reward statistics. (Batch axes = all but the
+            # trailing agent axis, so this works on both (T, E, N) rollouts
+            # and flattened (B, N) minibatches.)
+            axes = tuple(range(advantages.ndim - 1))
+            mu = advantages.mean(axis=axes, keepdims=True)
+            sd = advantages.std(axis=axes, keepdims=True)
         else:
             mu = advantages.mean()
             sd = advantages.std()
@@ -247,18 +271,67 @@ def make_train_step(
             'entropy': entropy,
         }
 
+    def sgd_step(params, opt_state, traj, advantages, targets):
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(
+            params, traj, advantages, targets
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, metrics
+
     @jax.jit
     def train_step(state: TrainState) -> tuple[TrainState, dict]:
         state, traj, last_value = rollout_phase(state)
         advantages, targets = compute_gae(traj, last_value)
 
-        params, opt_state, metrics = state.params, state.opt_state, None
-        for _ in range(config.epochs):
-            grads, metrics = jax.grad(loss_fn, has_aux=True)(
-                params, traj, advantages, targets
+        params, opt_state = state.params, state.opt_state
+        if config.minibatches == 1:
+            # Whole-batch epochs: no permutation, no data movement.
+            metrics = None
+            for _ in range(config.epochs):
+                params, opt_state, metrics = sgd_step(
+                    params, opt_state, traj, advantages, targets)
+        else:
+            # RLlib-style SGD: flatten (T, E) → B, shuffle per epoch, split
+            # into minibatches (scripts/train.py trains through RLlib PPO's
+            # minibatched SGD; multigrid/scripts/train.py:126-169).
+            t, e = advantages.shape[:2]
+            b = t * e
+            assert b % config.minibatches == 0, (
+                f'rollout batch {b} not divisible by '
+                f'{config.minibatches} minibatches')
+            key, k_perm = jax.random.split(state.key)
+            state = state.replace(key=key)
+            batch = jax.tree.map(
+                lambda x: x.reshape((b,) + x.shape[2:]),
+                (traj, advantages, targets),
             )
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
+
+            def epoch_body(carry, ek):
+                params, opt_state = carry
+                perm = jax.random.permutation(ek, b)
+                mb = jax.tree.map(
+                    lambda x: jnp.take(x, perm, axis=0).reshape(
+                        (config.minibatches, -1) + x.shape[1:]),
+                    batch,
+                )
+
+                def mb_body(carry, data):
+                    params, opt_state = carry
+                    tr, adv, tg = data
+                    params, opt_state, m = sgd_step(
+                        params, opt_state, tr, adv, tg)
+                    return (params, opt_state), m
+
+                (params, opt_state), ms = jax.lax.scan(
+                    mb_body, (params, opt_state), mb)
+                return (params, opt_state), jax.tree.map(
+                    lambda x: x[-1], ms)
+
+            (params, opt_state), ms = jax.lax.scan(
+                epoch_body, (params, opt_state),
+                jax.random.split(k_perm, config.epochs),
+            )
+            metrics = jax.tree.map(lambda x: x[-1], ms)
 
         metrics['reward_per_step'] = traj.reward.mean()
         state = state.replace(
