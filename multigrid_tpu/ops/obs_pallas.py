@@ -49,8 +49,25 @@ from ..core.constants import (
 from ..core.state import MultiGridState
 from .obs import get_view_exts
 
-#: Env-block width (lanes per kernel invocation).
-_BLOCK = 512
+#: Maximum env-block width (lanes per kernel invocation).
+_MAX_BLOCK = 512
+
+#: VMEM working-set reference: a 960-sublane padded plane at 512 lanes fits
+#: the 16 MB scoped-vmem limit on v5e (Empty-16x16 headroom-measured); the
+#: kernel stack scales ~linearly in plane_sublanes × lanes, so larger grids
+#: trade lanes for sublanes.
+_VMEM_REF = 960 * 512
+
+
+def pick_block(w: int, h: int, vs: int) -> int:
+    """Lane-block width for a given grid: largest power-of-two ≤ 512 whose
+    padded-plane working set stays inside scoped VMEM."""
+    sublanes = (w + 2 * vs) * _row_stride(h, vs)
+    block = _MAX_BLOCK
+    while block > 128 and sublanes * block > _VMEM_REF:
+        block //= 2
+    return block
+
 
 _WALL_PACKED = (
     (int(WALL_ENCODING[0]) << 8)
@@ -59,10 +76,10 @@ _WALL_PACKED = (
 )
 
 
-def supports_batch(e: int) -> bool:
+def supports_batch(e: int, w: int = 16, h: int = 16, vs: int = 7) -> bool:
     """Whether an env batch of size ``e`` tiles into the kernel's lane
     blocks: whole 128-lane tiles, and a whole number of blocks."""
-    block = min(_BLOCK, e)
+    block = min(pick_block(w, h, vs), e)
     return e % 128 == 0 and e % block == 0
 
 
@@ -358,10 +375,10 @@ def gen_obs_batched_pallas(
     ])  # (4N, E)
 
     # ---- kernel ------------------------------------------------------------
-    block = min(_BLOCK, e)
+    block = min(pick_block(w, h, vs), e)
     # Compiled mode needs whole 128-lane tiles; the interpreter handles any
     # batch (used by the CPU equality tests).
-    assert interpret or supports_batch(e), (
+    assert interpret or supports_batch(e, w, h, vs), (
         f'env batch {e} does not tile into {block}-lane kernel blocks '
         '(use VectorEnv, which falls back to the XLA path)')
     kernel = functools.partial(

@@ -96,7 +96,9 @@ class VectorEnv:
                 f'per-shard batch {num_envs // max(shards, 1)} not supported '
                 f'by the kernel (needs %128 == 0 or small)':
                     num_envs % shards == 0
-                    and not supports_batch(num_envs // shards),
+                    and not supports_batch(
+                        num_envs // shards, env.width, env.height,
+                        env.cfg.view_size),
                 f'num_agents={env.num_agents} > 8': env.num_agents > 8,
                 f'{len(Color)} colors > 16': len(Color) > 16,
             }

@@ -110,9 +110,15 @@ def _single_process_reference():
 
 
 def test_two_process_mesh_matches_single_process():
-    import jax
     port = _free_port()
-    cache = jax.config.jax_compilation_cache_dir or ''
+    # Workers run with NO persistent compilation cache: XLA:CPU AOT entries
+    # are compile-context-specific, and reloading them inside the
+    # gloo-distributed runtime crashes at value-fetch time (the conftest
+    # SIGILL gotcha) — observed for entries written by the single-process
+    # suite AND for entries written by a previous distributed run. The
+    # ~4 min cold compile per worker is the price of a real multi-process
+    # check.
+    cache = ''
     workers = []
     for pid in range(2):
         env = dict(

@@ -66,3 +66,36 @@ def test_playground_many_agents(seed):
 def test_playground_large_team(seed):
     """N > 8 exercises the scanned (non-unrolled) sub-step path."""
     run_differential('MultiGrid-Playground-v0', seed, 10, num_steps=60)
+
+
+# ------------------------- non-default observation parameters
+# The reference parameterizes view size and see-through-walls
+# (multigrid/base.py:93-94); one differential case each closes the
+# default-params-only gap in the round-1 suite.
+
+
+@pytest.mark.parametrize('seed', [2, 31])
+def test_view_size_5(seed):
+    run_differential(
+        'MultiGrid-Empty-8x8-v0', seed, 2, num_steps=120, agent_view_size=5)
+
+
+@pytest.mark.parametrize('seed', [4])
+def test_view_size_5_roomgrid(seed):
+    run_differential(
+        'MultiGrid-BlockedUnlockPickup-v0', seed, 2, num_steps=120,
+        agent_view_size=5)
+
+
+@pytest.mark.parametrize('seed', [6, 17])
+def test_see_through_walls(seed):
+    run_differential(
+        'MultiGrid-Empty-8x8-v0', seed, 2, num_steps=120,
+        see_through_walls=True)
+
+
+@pytest.mark.parametrize('seed', [8])
+def test_see_through_walls_view_9(seed):
+    run_differential(
+        'MultiGrid-RedBlueDoors-6x6-v0', seed, 2, num_steps=120,
+        see_through_walls=True, agent_view_size=9)
