@@ -74,17 +74,18 @@ def render_object(img: np.ndarray, type_idx: int, color_idx: int,
         if state_idx == STATE_OPEN:
             fill_coords(img, point_in_rect(0.88, 1.00, 0.00, 1.00), color)
             fill_coords(img, point_in_rect(0.92, 0.96, 0.04, 0.96), (0, 0, 0))
+        elif state_idx == STATE_LOCKED:
+            # Solid door tinted 0.45, key slot (world_object.py:103-108).
+            fill_coords(img, point_in_rect(0.00, 1.00, 0.00, 1.00), color)
+            fill_coords(img, point_in_rect(0.06, 0.94, 0.06, 0.94),
+                        0.45 * color.astype(np.float64))
+            fill_coords(img, point_in_rect(0.52, 0.75, 0.50, 0.56), color)
         else:
             fill_coords(img, point_in_rect(0.00, 1.00, 0.00, 1.00), color)
             fill_coords(img, point_in_rect(0.04, 0.96, 0.04, 0.96), (0, 0, 0))
             fill_coords(img, point_in_rect(0.08, 0.92, 0.08, 0.92), color)
             fill_coords(img, point_in_rect(0.12, 0.88, 0.12, 0.88), (0, 0, 0))
-            if state_idx == STATE_LOCKED:
-                # Keyhole instead of a handle.
-                fill_coords(
-                    img, point_in_rect(0.52, 0.75, 0.50, 0.56), color // 2)
-            else:
-                fill_coords(img, point_in_circle(cx=0.75, cy=0.50, r=0.08), color)
+            fill_coords(img, point_in_circle(cx=0.75, cy=0.50, r=0.08), color)
     elif type_idx == _T_KEY:
         fill_coords(img, point_in_rect(0.50, 0.63, 0.31, 0.88), color)   # shaft
         fill_coords(img, point_in_rect(0.38, 0.50, 0.59, 0.66), color)   # teeth
@@ -120,15 +121,17 @@ def render_tile(
 
     img = np.zeros((tile_size * subdivs, tile_size * subdivs, 3), dtype=np.uint8)
     type_idx, color_idx, state_idx = cell
+    # Grid lines FIRST, then the object/agent over them — the reference's
+    # draw order (core/grid.py:235-249); full-tile fills (goal, lava, open
+    # doors) legitimately cover their own top/left border lines.
+    fill_coords(img, point_in_rect(0, 0.031, 0, 1), (100, 100, 100))
+    fill_coords(img, point_in_rect(0, 1, 0, 0.031), (100, 100, 100))
     if type_idx not in (Type.empty.to_index(), Type.unseen.to_index()):
         render_object(img, type_idx, color_idx, state_idx)
     if agent is not None:
         render_agent(img, agent[0], agent[1])
     if highlight:
         highlight_img(img)
-    # Grid lines on the top/left edges (core/grid.py:232-234).
-    fill_coords(img, point_in_rect(0, 0.031, 0, 1), (100, 100, 100))
-    fill_coords(img, point_in_rect(0, 1, 0, 0.031), (100, 100, 100))
 
     img = downsample(img, subdivs)
     _TILE_CACHE[key] = img
