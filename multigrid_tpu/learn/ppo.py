@@ -334,6 +334,14 @@ def make_train_step(
             metrics = jax.tree.map(lambda x: x[-1], ms)
 
         metrics['reward_per_step'] = traj.reward.mean()
+        # Mean episode return (all agents' rewards summed per episode, the
+        # RLlib episode_reward_mean convention) estimated over the batch:
+        # total reward / episodes completed in the rollout window.
+        env_done = traj.done.all(-1)
+        n_eps = env_done.sum()
+        metrics['episodes_in_batch'] = n_eps.astype(jnp.float32)
+        metrics['episode_reward'] = jnp.where(
+            n_eps > 0, traj.reward.sum() / jnp.maximum(n_eps, 1), jnp.nan)
         state = state.replace(
             params=params, opt_state=opt_state,
             update_count=state.update_count + 1,
@@ -368,6 +376,8 @@ def make_train_loop(
 
         state, metrics = jax.lax.scan(
             body, state, None, length=updates_per_call)
-        return state, jax.tree.map(lambda m: m.mean(), metrics)
+        # nanmean: episode_reward is NaN for updates whose rollout window
+        # completed no episodes.
+        return state, jax.tree.map(lambda m: jnp.nanmean(m), metrics)
 
     return train_loop

@@ -49,6 +49,9 @@ def parse_args() -> argparse.Namespace:
     p.add_argument('--rollout-steps', type=int, default=16)
     p.add_argument('--epochs', type=int, default=1,
                    help='PPO epochs per batch')
+    p.add_argument('--minibatches', type=int, default=1,
+                   help='SGD minibatches per epoch (RLlib-style shuffled '
+                        'minibatch SGD; 1 = whole-batch updates)')
     p.add_argument('--lr', type=float, default=3e-4)
     p.add_argument('--gamma', type=float, default=0.99)
     p.add_argument('--ent-coef', type=float, default=0.01)
@@ -69,6 +72,8 @@ def parse_args() -> argparse.Namespace:
     p.add_argument('--save-interval', type=int, default=20)
     p.add_argument('--load-dir', default=None,
                    help='resume from the latest checkpoint in this directory')
+    p.add_argument('--log-interval', type=int, default=10,
+                   help='log metrics every N updates')
     p.add_argument('--log-jsonl', default=None,
                    help='append per-update metrics as JSON lines')
     p.add_argument('--mesh', action='store_true',
@@ -91,6 +96,7 @@ def train(args: argparse.Namespace) -> None:
     config = PPOConfig(
         rollout_steps=args.rollout_steps, lr=args.lr, gamma=args.gamma,
         ent_coef=args.ent_coef, epochs=args.epochs,
+        minibatches=args.minibatches,
         per_agent_policies=args.per_agent_policies,
     )
     net = ActorCritic(hidden=args.hidden, encoder=args.encoder)
@@ -135,7 +141,7 @@ def train(args: argparse.Namespace) -> None:
             path = save_checkpoint(
                 os.path.join(args.save_dir, f'step_{update + 1}'), state)
             print(f'checkpoint -> {path}')
-        if (update + 1) % 10 == 0 or update == num_updates - 1:
+        if (update + 1) % args.log_interval == 0 or update == num_updates - 1:
             elapsed = time.perf_counter() - t_start
             rate = (update + 1) * steps_per_update / elapsed
             row = {
@@ -145,6 +151,8 @@ def train(args: argparse.Namespace) -> None:
                 'reward_per_step': float(metrics['reward_per_step']),
                 'loss': float(metrics['loss']),
                 'entropy': float(metrics['entropy']),
+                'episode_reward': float(metrics.get('episode_reward', float('nan'))),
+                'episodes_in_batch': float(metrics.get('episodes_in_batch', 0)),
             }
             print(json.dumps(row))
             if log_f:

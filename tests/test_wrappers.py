@@ -70,3 +70,29 @@ def test_wrapped_env_vmaps():
     assert obs['image'].shape == (4, 2, 7, 7, 21)
     obs, state, *_ = venv.step(state, jnp.zeros((4, 2), dtype=jnp.int32))
     assert obs['image'].shape == (4, 2, 7, 7, 21)
+
+
+def test_mission_surfaces_through_wrappers_and_batching():
+    """Mission-parameterized envs expose their mission index in the obs dict
+    through every path (reference obs carry the mission, base.py:368-376)."""
+    env = make('MultiGrid-BlockedUnlockPickup-v0', agents=2)
+    obs, state = env.reset(jax.random.key(3))
+    assert obs['mission'].shape == (2,)
+    assert int(obs['mission'][0]) == int(state.extras['mission_color']) * 2
+    # Index round-trips to the reference-shaped mission string.
+    mission = env.mission_space[int(obs['mission'][0])]
+    assert str(mission) == env.mission_of(state)
+
+    # Batched + wrapped: mission passes through the OneHot wrapper chain.
+    venv = VectorEnv(
+        OneHotObsWrapper(make('MultiGrid-BlockedUnlockPickup-v0', agents=2)), 4)
+    obs, vstate = venv.reset(jax.random.key(4))
+    obs, vstate, *_ = venv.step(vstate, jnp.zeros((4, 2), dtype=jnp.int32))
+    assert obs['mission'].shape == (4, 2)
+    np.testing.assert_array_equal(
+        np.asarray(obs['mission'][:, 0]),
+        np.asarray(vstate.extras['mission_color']) * 2)
+
+    # Static-mission envs are unchanged: no mission key in functional obs.
+    obs, _ = make('MultiGrid-Empty-5x5-v0', agents=1).reset(jax.random.key(0))
+    assert 'mission' not in obs
