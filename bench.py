@@ -59,21 +59,24 @@ def main() -> None:
     int(s0['obs_sum'])
     overhead = time.perf_counter() - t0
 
-    best = 0.0
+    rates = []
     for r in range(args.repeats):
         t0 = time.perf_counter()
         state, summary = venv.rollout_random(
             state, jax.random.key(2 + r), args.steps)
         int(summary['obs_sum'])
         dt = max(1e-9, time.perf_counter() - t0 - overhead)
-        rate = args.num_envs * args.agents * args.steps / dt
-        best = max(best, rate)
+        rates.append(args.num_envs * args.agents * args.steps / dt)
+    rates.sort()
+    best = rates[-1]
+    median = rates[len(rates) // 2]
 
     print(json.dumps({
         'metric': 'agent_steps_per_sec_per_chip',
         'value': round(best),
         'unit': 'agent-steps/s',
         'vs_baseline': round(best / REFERENCE_AGENT_STEPS_PER_SEC, 2),
+        'median': round(median),
     }))
 
 

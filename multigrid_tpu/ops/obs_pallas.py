@@ -52,11 +52,17 @@ from .obs import get_view_exts
 #: Maximum env-block width (lanes per kernel invocation).
 _MAX_BLOCK = 512
 
-#: VMEM working-set reference: a 960-sublane padded plane at 512 lanes fits
-#: the 16 MB scoped-vmem limit on v5e (Empty-16x16 headroom-measured); the
-#: kernel stack scales ~linearly in plane_sublanes × lanes, so larger grids
-#: trade lanes for sublanes.
-_VMEM_REF = 960 * 512
+#: Scoped-VMEM limit requested from Mosaic. The 16 MB default forces small
+#: lane blocks on grids past ~16x16 (more kernel invocations, each with the
+#: same fixed roll-chain cost — measured 1.5x slower end-to-end on the 19x19
+#: Playground); v5e accommodates 64 MB for this kernel's stack comfortably.
+_VMEM_LIMIT = 64 * 1024 * 1024
+
+#: VMEM working-set reference: a 1320-sublane padded plane at 512 lanes
+#: (19x19 grid, view 7) allocates a 19.6 MB kernel stack — validated against
+#: the raised limit on v5e with ~3x headroom; the stack scales ~linearly in
+#: plane_sublanes × lanes, so still-larger grids trade lanes for sublanes.
+_VMEM_REF = 1320 * 512
 
 
 def pick_block(w: int, h: int, vs: int) -> int:
@@ -397,11 +403,16 @@ def gen_obs_batched_pallas(
         out_specs=pl.BlockSpec((n * v2, block), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
     )
+    compiler_params = (
+        None if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+    )
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n * v2, e), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,
+        compiler_params=compiler_params,
     )(meta, plane)
 
     # ---- XLA epilogue: unpack, back to env-major images. -------------------

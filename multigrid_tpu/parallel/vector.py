@@ -63,7 +63,7 @@ class VectorEnv:
         mesh: Mesh | None = None,
         use_pallas_obs: bool | None = None,
         reset_pool: bool | None = None,
-        reset_pool_period: int = 64,
+        reset_pool_period: int | None = None,
     ):
         self.env = env
         self.num_envs = num_envs
@@ -77,6 +77,15 @@ class VectorEnv:
             # exact every-step reset.
             reset_pool = bool(getattr(env, 'procedural_reset', False))
         self.reset_pool = reset_pool and auto_reset
+        if reset_pool_period is None:
+            # Longest refresh period with zero layout replay for episodes of
+            # at least ``period`` steps (every reserve slot is regenerated
+            # between consecutive truncation-driven consumptions), capped so
+            # early-terminating envs don't grow arbitrarily stale. Larger
+            # periods are faster (fewer layouts regenerated per step) —
+            # Playground measures 20.6M agent-steps/s at its 100-step cap vs
+            # 19.1M at 64.
+            reset_pool_period = min(128, max(1, env.cfg.max_steps))
         assert reset_pool_period >= 1
         self.reset_pool_period = reset_pool_period
         if use_pallas_obs is None:
@@ -186,9 +195,16 @@ class VectorEnv:
         return state, pool
 
     def _refresh_pool(self, pool: dict, new_state: MultiGridState):
-        """Regenerate a rotating slice of the reserve; bump the step counter."""
+        """Regenerate a rotating slice of the reserve; bump the step counter.
+
+        (A ``lax.cond``-gated "big slice every K steps" variant measured 3x
+        SLOWER end-to-end on TPU — a conditional inside the rollout scan
+        wrecks buffer aliasing for the carried pool — so the refresh stays a
+        small unconditional per-step slice.)
+        """
         e = self.num_envs
-        c = max(1, e // self.reset_pool_period)
+        # ceil: the rotation must cover all slots within the period.
+        c = max(1, -(-e // self.reset_pool_period))
         n_slices = -(-e // c)
         g0 = pool[_GSTEP][0]
         start = (g0 % n_slices) * c  # dynamic_slice clamps the tail slice
@@ -254,8 +270,16 @@ class VectorEnv:
                 d = done.reshape(done.shape + (1,) * (r.ndim - 1))
                 return jnp.where(d, r, s)
 
+            # When post_step is the base identity hook, step_core returned
+            # the SAME tracers for obs_state and new_state — one merged
+            # select serves both (saves a full-state select per step).
+            same = all(
+                a is b for a, b in zip(
+                    jax.tree.leaves(obs_state), jax.tree.leaves(new_state))
+            )
             new_state = jax.tree.map(sel, reset_state, new_state)
-            obs_state = jax.tree.map(sel, reset_state, obs_state)
+            obs_state = new_state if same else jax.tree.map(
+                sel, reset_state, obs_state)
         obs = self._gen_obs_batched(obs_state)
         obs = jax.vmap(self.env.attach_mission)(obs, obs_state)
         obs = jax.vmap(self.env.transform_obs)(obs, obs_state)
