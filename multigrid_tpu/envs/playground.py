@@ -20,15 +20,12 @@ from ..core.constants import (
     TYPE_KEY,
 )
 from ..core.state import MultiGridState
-from ..ops.place import place_obj_mask, set_cell
 from . import layout
 from .roomgrid import (
     RoomGrid,
     front_ok_mask,
     next_to_agent_mask,
-    uniform_pos_dir,
 )
-from ..ops.place import uniform_position
 
 
 class PlaygroundEnv(RoomGrid):
