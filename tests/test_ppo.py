@@ -54,3 +54,34 @@ def test_per_agent_policies():
             for bl, al in zip(jax.tree.leaves(before), jax.tree.leaves(after))
         )
         assert moved, f'agent {a} parameters did not update'
+
+
+def test_minibatched_epochs():
+    """RLlib-style shuffled minibatch SGD (PPOConfig.minibatches): the
+    (T·E) batch flattens, permutes per epoch and splits; per-minibatch
+    advantage normalization; parameters update and metrics stay finite."""
+    venv = VectorEnv(make('MultiGrid-Empty-5x5-v0', agents=2), 4)
+    net = ActorCritic(hidden=16, encoder='mlp')
+    config = PPOConfig(rollout_steps=4, epochs=2, minibatches=4)
+    state, net, config, tx = ppo_init(
+        venv, jax.random.key(2), net=net, config=config)
+    train_step = make_train_step(venv, net, config, tx)
+
+    before = jax.tree.leaves(state.params)[0].copy()
+    state, metrics = train_step(state)
+    assert np.isfinite(float(metrics['loss']))
+    assert not np.allclose(
+        np.asarray(before), np.asarray(jax.tree.leaves(state.params)[0]))
+
+
+def test_minibatched_mission_env():
+    """Minibatching + auto mission conditioning together: the mission leaf
+    rides the flatten/permute with the rest of the rollout."""
+    venv = VectorEnv(make('MultiGrid-BlockedUnlockPickup-v0', agents=2), 4)
+    config = PPOConfig(rollout_steps=2, epochs=2, minibatches=2)
+    state, net, config, tx = ppo_init(venv, jax.random.key(3), config=config)
+    assert net.num_missions == 12  # auto-sized from the env's mission space
+    train_step = make_train_step(venv, net, config, tx)
+    state, metrics = train_step(state)
+    assert np.isfinite(float(metrics['loss']))
+    assert int(state.update_count) == 1
