@@ -82,11 +82,16 @@ class GymAdapter(gym.Env):
 
     def _agent_observation_space(self) -> spaces.Space:
         vs = self.env.cfg.view_size
-        return spaces.Dict({
+        base = spaces.Dict({
             'image': spaces.Box(0, 255, (vs, vs, 3), dtype=np.int32),
             'direction': spaces.Discrete(4),
             'mission': GymMissionSpace(self.env.mission_space),
         })
+        # Wrapped envs rewrite the per-agent space through the wrapper chain
+        # (FullyObs → full-grid image, OneHot → 21 channels, ...), matching
+        # the reference wrappers' observation_space mutations
+        # (multigrid/wrappers.py:41-58,139-147).
+        return self.env.transform_space(base)
 
     @property
     def observation_space(self) -> spaces.Dict:
@@ -149,7 +154,12 @@ class GymAdapter(gym.Env):
             {i: {} for i in self.agents},
         )
 
-    def _obs_dicts(self, obs) -> dict[int, dict]:
+    def _obs_dicts(self, obs) -> dict[int, Any]:
+        if not isinstance(obs, dict):
+            # Image-only wrappers (ImgObsWrapper) collapse the obs dict to
+            # the raw image array (reference wrappers.py:92-97).
+            arr = np.asarray(obs)
+            return {i: arr[i] for i in self.agents}
         image = np.asarray(obs['image'])
         direction = np.asarray(obs['direction'])
         return {

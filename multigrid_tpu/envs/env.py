@@ -132,6 +132,13 @@ class MultiGridEnv(abc.ABC):
         """
         return obs
 
+    def transform_space(self, agent_space):
+        """Per-agent observation-space transform hook; identity here.
+        Observation wrappers compose through this so adapters report the
+        space wrapped observations actually inhabit (the reference wrappers
+        mutate ``agent.observation_space``, multigrid/wrappers.py:41-58)."""
+        return agent_space
+
     def post_step(
         self,
         prev_state: MultiGridState,

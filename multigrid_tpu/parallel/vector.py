@@ -323,6 +323,20 @@ class VectorEnv:
         state, _ = self._strip_pool(state)
         return self._constrain(jax.vmap(self.env.observe)(state))
 
+    @functools.partial(jax.jit, static_argnums=0)
+    def obs_both_paths(self, state: MultiGridState):
+        """(pallas_image, xla_image) for the same state — the on-hardware
+        bit-equality check behind ``bench.py --verify`` (the Pallas kernel's
+        ground truth is the XLA path, itself differentially tested against
+        the reference numba kernels, multigrid/utils/obs.py)."""
+        from ..ops.obs_pallas import gen_obs_batched_pallas
+        state, _ = self._strip_pool(state)
+        cfg = self.env.cfg
+        pal = gen_obs_batched_pallas(
+            state, cfg.view_size, cfg.see_through_walls)
+        xla = jax.vmap(lambda s: gen_obs(cfg, s))(state)['image']
+        return pal, xla
+
     # ------------------------------------------------------------ rollouts
 
     @functools.partial(jax.jit, static_argnums=(0, 3), donate_argnums=1)

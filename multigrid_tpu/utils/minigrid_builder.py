@@ -30,7 +30,6 @@ from ..core.constants import (
     COLOR_GREEN,
     COLOR_GREY,
     COLOR_RED,
-    COLOR_TO_IDX,
     STATE_CLOSED,
     STATE_LOCKED,
     STATE_OPEN,
@@ -42,6 +41,7 @@ from ..core.constants import (
     TYPE_GOAL,
     TYPE_KEY,
     TYPE_LAVA,
+    TYPE_UNSEEN,
     TYPE_WALL,
     Color,
 )
@@ -173,6 +173,41 @@ class Grid:
     def wall_rect(self, x: int, y: int, w: int, h: int) -> None:
         layout.wall_rect(self.data, x, y, w, h)
 
+    def encode(self, vis_mask: np.ndarray | None = None) -> np.ndarray:
+        """(W, H, 3) int encoding; invisible cells become ``unseen``
+        (multigrid/core/grid.py:310-325 — note the reference's masked write
+        lands on a boolean-indexed *copy* and is a silent no-op; this
+        implements the documented intent, matching Farama minigrid)."""
+        enc = self.data.copy()
+        if vis_mask is not None:
+            enc[~np.asarray(vis_mask, dtype=bool)] = (TYPE_UNSEEN, 0, 0)
+        return enc
+
+    @classmethod
+    def decode(cls, array: np.ndarray) -> tuple['Grid', np.ndarray]:
+        """Encoding → (Grid, vis_mask) (multigrid/core/grid.py:327-347)."""
+        array = np.asarray(array)
+        width, height, dim = array.shape
+        assert dim == 3, f'expected (W, H, 3) encoding, got {array.shape}'
+        vis_mask = array[..., 0] != TYPE_UNSEEN
+        grid = cls(width, height)
+        grid.data[vis_mask] = array[vis_mask]
+        return grid, vis_mask
+
+    def slice(self, top_x: int, top_y: int, width: int, height: int) -> 'Grid':
+        """Rectangular sub-grid; out-of-bounds cells read as walls (the
+        Farama minigrid ``Grid.slice`` contract used by ported envs)."""
+        out = Grid(width, height)
+        for i in range(width):
+            for j in range(height):
+                x, y = top_x + i, top_y + j
+                if 0 <= x < self.width and 0 <= y < self.height:
+                    out.data[i, j] = self.data[x, y]
+                    out.contents[i, j] = self.contents[x, y]
+                else:
+                    out.data[i, j] = Wall().encode()
+        return out
+
 
 class MiniGridCompatEnv(MultiGridEnv):
     """Base class for ported single-agent MiniGrid environments.
@@ -228,8 +263,13 @@ class MiniGridCompatEnv(MultiGridEnv):
         self._np_random.shuffle(lst)
         return lst
 
-    def _rand_color(self):
-        return self._rand_elem(COLOR_TO_IDX.values())
+    def _rand_color(self) -> str:
+        # The reference returns a Color member (utils/random.py:85-91) whose
+        # str-mixin renders as the bare name in f-strings; the stdlib enum
+        # renders 'Color.red', so return the plain name — ported envs embed
+        # it in mission text ("pick up the {color} ball") and WorldObj
+        # constructors accept names.
+        return self._rand_elem(Color).value
 
     def _rand_pos(self, x_low, x_high, y_low, y_high):
         return (self._rand_int(x_low, x_high), self._rand_int(y_low, y_high))

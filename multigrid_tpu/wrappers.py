@@ -66,12 +66,28 @@ class ObservationWrapper:
         execution applies after generating raw observations once."""
         return self.observation(self.env.transform_obs(obs, state), state)
 
+    def observation_space(self, agent_space):
+        """Per-agent observation-space rewrite for this wrapper alone
+        (identity by default). The reference wrappers mutate each agent's
+        ``observation_space`` in ``__init__`` (multigrid/wrappers.py:41-58,
+        139-147); here adapters ask the wrapper chain via
+        :meth:`transform_space`."""
+        return agent_space
+
+    def transform_space(self, agent_space):
+        """Composed per-agent space transform (inner wrappers first) —
+        consumed by the Gym/RLlib/PettingZoo adapters so wrapped envs report
+        the space their observations actually inhabit."""
+        return self.observation_space(self.env.transform_space(agent_space))
+
     def reset(self, key: jax.Array):
         obs, state = self.env.reset(key)
         return self.observation(obs, state), state
 
-    def step(self, state: MultiGridState, actions: jax.Array):
-        obs, state, rew, term, trunc = self.env.step(state, actions)
+    def step(self, state: MultiGridState, actions: jax.Array,
+             action_mask: jax.Array | None = None):
+        obs, state, rew, term, trunc = self.env.step(
+            state, actions, action_mask)
         return self.observation(obs, state), state, rew, term, trunc
 
     def step_with_order(self, state, actions, order, action_mask=None):
@@ -109,12 +125,32 @@ class FullyObsWrapper(ObservationWrapper):
         image = jnp.broadcast_to(img, (n,) + img.shape)
         return {**obs, 'image': image}
 
+    def observation_space(self, agent_space):
+        from gymnasium import spaces
+        import numpy as np
+        d = dict(agent_space.spaces)
+        # Reference declares (height, width, 3) (wrappers.py:43-44) though
+        # the arrays are grid-state-shaped (width, height, 3); mirror the
+        # actual array shape so the space is truthful.
+        d['image'] = spaces.Box(
+            0, 255, (self.env.width, self.env.height, 3), dtype=np.int32)
+        return spaces.Dict(d)
+
 
 class ImgObsWrapper(ObservationWrapper):
     """Image-only observations as uint8 (wrappers.py:61-98)."""
 
     def observation(self, obs, state):
         return obs['image'].astype(jnp.uint8)
+
+    def observation_space(self, agent_space):
+        from gymnasium import spaces
+        import numpy as np
+        img = agent_space['image']
+        # The reference keeps the image Box and forces uint8
+        # (wrappers.py:86-89).
+        return spaces.Box(img.low.min(), img.high.max(), img.shape,
+                          dtype=np.uint8)
 
 
 def one_hot(image: jax.Array, dtype=jnp.uint8) -> jax.Array:
@@ -135,6 +171,16 @@ class OneHotObsWrapper(ObservationWrapper):
 
     def observation(self, obs, state):
         return {**obs, 'image': one_hot(obs['image'])}
+
+    def observation_space(self, agent_space):
+        from gymnasium import spaces
+        import numpy as np
+        d = dict(agent_space.spaces)
+        vh, vw, _ = d['image'].shape
+        # (wrappers.py:142-147): Box(0, 1, (vh, vw, 21), uint8).
+        d['image'] = spaces.Box(
+            0, 1, (vh, vw, sum(ONE_HOT_DIMS)), dtype=np.uint8)
+        return spaces.Dict(d)
 
 
 class SingleAgentWrapper(ObservationWrapper):

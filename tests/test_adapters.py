@@ -111,3 +111,69 @@ def test_minigrid_interface():
     assert env.steps_remaining == env.env.cfg.max_steps - 1
     with pytest.raises(AssertionError):
         MiniGridInterface(make('MultiGrid-Empty-5x5-v0', agents=2))
+
+# ---------------------------------------------------------------- space parity
+
+def _assert_space_match(ours, ref, path=''):
+    """Structural space equality: class, shape, bounds, Discrete.n, keys.
+
+    dtype is deliberately not compared — our arrays are int32 where the
+    reference declares python int (int64); the reference itself returns
+    int64 arrays only incidentally.
+    """
+    import gymnasium.spaces as sp
+    if isinstance(ref, sp.Dict):
+        assert isinstance(ours, sp.Dict), f'{path}: {type(ours)} vs Dict'
+        assert set(ours.spaces) == set(ref.spaces), (
+            f'{path}: keys {set(ours.spaces)} vs {set(ref.spaces)}')
+        for k in ref.spaces:
+            if str(k) == 'mission':
+                continue  # MissionSpace facade; text parity tested elsewhere
+            _assert_space_match(ours[k], ref[k], f'{path}/{k}')
+    elif isinstance(ref, sp.Box):
+        assert isinstance(ours, sp.Box), f'{path}: {type(ours)} vs Box'
+        assert ours.shape == ref.shape, (
+            f'{path}: shape {ours.shape} vs {ref.shape}')
+        assert float(ours.low.min()) == float(ref.low.min()), path
+        assert float(ours.high.max()) == float(ref.high.max()), path
+    elif isinstance(ref, sp.Discrete):
+        assert isinstance(ours, sp.Discrete), f'{path}: {type(ours)} vs Discrete'
+        assert ours.n == ref.n, f'{path}: n {ours.n} vs {ref.n}'
+    else:  # pragma: no cover
+        raise AssertionError(f'{path}: unhandled reference space {type(ref)}')
+
+
+@pytest.mark.parametrize('wrapper_name', [None, 'OneHotObsWrapper',
+                                          'FullyObsWrapper', 'ImgObsWrapper'])
+def test_adapter_space_parity_with_reference(wrapper_name):
+    """Adapter spaces (base + each wrapper) match the live reference's
+    env.observation_space / action_space (base.py:196-228,
+    wrappers.py:41-58,139-147)."""
+    from .ref_loader import (
+        load_reference, make_reference_env, reference_available)
+    if not reference_available():
+        pytest.skip('reference not importable')
+    load_reference()
+    import multigrid.wrappers as ref_wrappers
+
+    import multigrid_tpu.wrappers as our_wrappers
+
+    ref_env, _ = make_reference_env('MultiGrid-Empty-8x8-v0', 0, agents=2)
+    env = make('MultiGrid-Empty-8x8-v0', agents=2)
+    if wrapper_name is not None:
+        ref_env = getattr(ref_wrappers, wrapper_name)(ref_env)
+        env = getattr(our_wrappers, wrapper_name)(env)
+    ours = GymAdapter(env)
+
+    _assert_space_match(ours.action_space, ref_env.action_space, 'action')
+    _assert_space_match(
+        ours.observation_space, ref_env.observation_space, 'obs')
+
+    # The declared space must also contain what reset/step actually return.
+    obs, _ = ours.reset(seed=0)
+    img0 = obs[0] if wrapper_name == 'ImgObsWrapper' else obs[0]['image']
+    declared = ours.observation_space[0]
+    shape = declared.shape if wrapper_name == 'ImgObsWrapper' \
+        else declared['image'].shape
+    assert tuple(img0.shape) == tuple(shape), (
+        f'obs image {img0.shape} not in declared space {shape}')

@@ -161,3 +161,38 @@ def test_space_setters(env):
     assert env.observation_space.shape == (2,)
     env.observation_space = None
     assert type(env.observation_space) is type(obs_space)
+
+
+def test_grid_encode_decode_roundtrip(env):
+    """Builder-Grid encode/decode/slice (multigrid/core/grid.py:310-347)."""
+    env.reset(seed=3)
+    grid = env.env.grid  # the host-side builder Grid from the last reset
+    enc = grid.encode()
+    assert enc.shape == (grid.width, grid.height, 3)
+    decoded, vis = Grid.decode(enc)
+    assert vis.all()
+    np.testing.assert_array_equal(decoded.data, grid.data)
+
+    # Masked encode marks invisible cells unseen; decode recovers the mask.
+    mask = np.ones((grid.width, grid.height), dtype=bool)
+    mask[0, :] = False
+    enc_m = grid.encode(mask)
+    assert (enc_m[0, :, 0] == 0).all()  # unseen type index
+    _, vis2 = Grid.decode(enc_m)
+    np.testing.assert_array_equal(vis2, mask)
+
+    # slice: in-bounds cells copied, out-of-bounds read as walls.
+    sub = grid.slice(-1, -1, 3, 3)
+    assert sub.data[0, 0, 0] == 2  # wall
+    np.testing.assert_array_equal(sub.data[1, 1], grid.data[0, 0])
+
+
+def test_rand_color_is_name(env):
+    from multigrid_tpu.core.constants import Color
+    names = {c.value for c in Color}
+    for _ in range(10):
+        c = env.env._rand_color()
+        assert isinstance(c, str) and c in names
+    # WorldObj constructors accept the name, and it formats bare in missions.
+    assert f'pick up the {env.env._rand_color()} ball'.count('Color.') == 0
+    Key(env.env._rand_color())
