@@ -34,6 +34,8 @@ class PettingZooWrapper(ParallelEnv):
             f'agent_{i}' for i in range(env.num_agents)
         ]
         self.agents = list(self.possible_agents)
+        self._obs_spaces: dict = {}
+        self._act_spaces: dict = {}
 
     @property
     def env(self) -> MultiGridEnv:
@@ -47,13 +49,18 @@ class PettingZooWrapper(ParallelEnv):
         return int(agent.rsplit('_', 1)[1])
 
     def observation_space(self, agent: str):
-        return self._gym._agent_observation_space()
+        # PettingZoo's API test requires the same space *object* per agent.
+        if agent not in self._obs_spaces:
+            self._obs_spaces[agent] = self._gym._agent_observation_space()
+        return self._obs_spaces[agent]
 
     def action_space(self, agent: str):
         from gymnasium import spaces
 
         from ..core.actions import Action
-        return spaces.Discrete(len(Action))
+        if agent not in self._act_spaces:
+            self._act_spaces[agent] = spaces.Discrete(len(Action))
+        return self._act_spaces[agent]
 
     def reset(self, seed: int | None = None, options: dict | None = None):
         obs, infos = self._gym.reset(seed=seed, options=options)

@@ -177,3 +177,35 @@ def test_adapter_space_parity_with_reference(wrapper_name):
         else declared['image'].shape
     assert tuple(img0.shape) == tuple(shape), (
         f'obs image {img0.shape} not in declared space {shape}')
+
+
+# ----------------------------------------------- real-library conformance
+# These run only where the optional heavy deps are installed (the CI
+# adapter-conformance job); offline dev environments skip them.
+
+def test_pettingzoo_parallel_api_conformance():
+    pz = pytest.importorskip('pettingzoo')
+    if not hasattr(pz, 'ParallelEnv') or pz.ParallelEnv is object:
+        pytest.skip('pettingzoo ParallelEnv unavailable')
+    from pettingzoo.test import parallel_api_test
+
+    env = PettingZooWrapper(make('MultiGrid-Empty-5x5-v0', agents=2))
+    assert isinstance(env, pz.ParallelEnv)
+    parallel_api_test(env, num_cycles=30)
+
+
+def test_rllib_multiagentenv_conformance():
+    pytest.importorskip('ray.rllib')
+    from ray.rllib.env.multi_agent_env import MultiAgentEnv
+
+    env = RLlibWrapper(make('MultiGrid-Empty-5x5-v0', agents=2))
+    assert isinstance(env, MultiAgentEnv)
+    obs, infos = env.reset(seed=0)
+    assert set(obs) == {0, 1}
+    obs, rew, terms, truncs, infos = env.step({0: 2, 1: 1})
+    assert terms['__all__'] in (True, False)
+    # Auto-registration with ray.tune ran at import (rllib/__init__.py:109-111).
+    from ray.tune.registry import _global_registry, ENV_CREATOR
+    from multigrid_tpu.adapters.rllib import register_rllib_envs
+    register_rllib_envs()
+    assert _global_registry.contains(ENV_CREATOR, 'MultiGrid-Empty-8x8-v0')
