@@ -156,15 +156,25 @@ class VectorEnv:
     #
     # Procedural layout generation (RoomGrid's connect_all + sequential
     # placements) dominates the step when recomputed for every env every
-    # step. The pool amortizes it: each env carries one pregenerated "next
+    # step. The pool amortizes it: each env carries a pregenerated "next
     # layout" (the reserve); auto-reset consumes it with the same free
     # predicated select, and every step only ``num_envs / reset_pool_period``
     # reserves are regenerated (a rotating slice — one dynamic_update_slice,
-    # not per-env scatters). Distribution per consumed layout is identical to
-    # a fresh reset (same generator, independent key); the one deviation is
-    # staleness: an env finishing twice within ``reset_pool_period`` steps
-    # replays its previous reserve layout (with fresh step RNG). Periods well
-    # under typical episode length make that rare-to-impossible.
+    # not per-env scatters). Each slot's layout is a fresh independent draw
+    # (fold of the slot's key stream with the refresh counter).
+    #
+    # Consumption reads the reserve through a rotating offset: at global
+    # step g, env i consumes slot (i + g) mod E. Consecutive episode ends of
+    # the same env therefore always land on *different* slots — an env never
+    # replays the layout it just played, no matter how short its episodes
+    # (trained policies finish BUP/RedBlueDoors in tens of steps, far under
+    # the refresh period). The residual deviation from exact per-episode
+    # resets: a slot's layout can be consumed by up to ``reset_pool_period``
+    # *different* envs (one per step) before its refresh — duplicate layouts
+    # across the batch at different times, bounded by done-rate × period,
+    # instead of the temporally-correlated within-env replay that biased
+    # on-policy training. The rolled read fuses into the consumption select,
+    # which already streams the full reserve.
 
     def _attach_pool(self, state: MultiGridState, key: jax.Array):
         """Generate the initial reserve and stash pool state in extras."""
@@ -252,12 +262,17 @@ class VectorEnv:
         done = jnp.all(term, axis=-1) | jnp.any(trunc, axis=-1)
         if self.auto_reset:
             if pool:
-                # Consume the pregenerated reserve: a free predicated select.
-                # Fresh per-env step RNG even if a stale reserve is replayed.
+                # Consume the pregenerated reserve through the rotating
+                # offset (see the pool notes above): env i reads slot
+                # (i + gstep) mod E, so an env's consecutive episode ends
+                # never replay one slot. Fresh per-env step RNG regardless.
                 folded = jax.vmap(
                     lambda k: jax.random.fold_in(k, 1)
                 )(new_state.rng)
-                reset_state = pool[_RESERVE].replace(rng=folded)
+                offset = pool[_GSTEP][0] % self.num_envs
+                reserve = jax.tree.map(
+                    lambda r: jnp.roll(r, -offset, axis=0), pool[_RESERVE])
+                reset_state = reserve.replace(rng=folded)
             else:
                 # Exact path: one fixed-cost reset computed for every env
                 # each step (fine for cheap layouts).

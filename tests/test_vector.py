@@ -140,3 +140,48 @@ def test_reset_pool_determinism_and_refresh():
     # Layouts differ between consecutive episodes (pool refreshed in time).
     assert (grids[0][0] != grids[0][1]).any()
     assert (grids[0][1] != grids[0][2]).any()
+
+
+def test_reset_pool_no_replay_for_short_episodes():
+    """Episodes far shorter than the refresh period must still get a fresh
+    layout every reset: consumption reads the reserve through a rotating
+    offset, so consecutive episode ends of one env land on different slots
+    (trained policies finish in tens of steps — the regime that previously
+    replayed one reserve layout repeatedly)."""
+    env = make('MultiGrid-BlockedUnlockPickup-v0', agents=2, max_steps=10)
+    venv = VectorEnv(env, 8, reset_pool_period=128)
+    assert venv.reset_pool and venv.reset_pool_period == 128
+    _, state = venv.reset(jax.random.key(3))
+    layouts = [np.asarray(state.grid).copy()]
+    for t in range(30):  # 3 consecutive 10-step episodes, period 128
+        actions = jnp.full((8, 2), 6, dtype=jnp.int32)  # idle
+        _, state, *_, done = venv.step(state, actions)
+        if bool(done.all()):
+            layouts.append(np.asarray(state.grid).copy())
+    assert len(layouts) == 4
+    for a, b in zip(layouts, layouts[1:]):
+        # Every env's consecutive layouts differ (BUP layouts draw random
+        # door/key/ball colors and positions; equality would mean replay).
+        per_env_equal = (a == b).all(axis=(1, 2, 3))
+        assert not per_env_equal.any(), (
+            f'layout replay in envs {np.where(per_env_equal)[0]}')
+
+
+def test_reset_pool_rotation_determinism():
+    """The rotating consumption offset stays bit-deterministic under a fixed
+    seed (same seed + actions → identical layout sequences)."""
+    env = make('MultiGrid-RedBlueDoors-6x6-v0', agents=2, max_steps=5)
+    seqs = []
+    for _ in range(2):
+        venv = VectorEnv(env, 8, reset_pool=True, reset_pool_period=64)
+        _, state = venv.reset(jax.random.key(11))
+        seen = []
+        for t in range(15):
+            actions = jnp.full((8, 2), 6, dtype=jnp.int32)
+            _, state, *_, done = venv.step(state, actions)
+            if bool(done.all()):
+                seen.append(np.asarray(state.grid).copy())
+        seqs.append(seen)
+    assert len(seqs[0]) == 3
+    for a, b in zip(*seqs):
+        np.testing.assert_array_equal(a, b)
