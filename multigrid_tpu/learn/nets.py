@@ -20,11 +20,24 @@ from ..core.constants import Color, State, Type
 OBS_CHANNELS = (len(Type), len(Color), max(len(State), 4))
 
 
-def one_hot_image(image: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
-    """(..., vs, vs, 3) int → (..., vs, vs, 21) one-hot feature planes."""
+def one_hot_image(
+    image: jax.Array, dtype=jnp.bfloat16, packed: bool = False
+) -> jax.Array:
+    """Observation image → one-hot feature planes.
+
+    ``packed=False``: (..., vs, vs, 3) int channel triples.
+    ``packed=True``: (..., vs, vs) bit-packed int32 cells
+    (``type<<8 | color<<4 | state``, the obs kernel's native encoding —
+    storing rollouts packed carries 1/3 the HBM traffic of the triples).
+    Both produce identical (..., vs, vs, 21) planes.
+    """
+    if packed:
+        fields = (image >> 8, (image >> 4) & 15, image & 15)
+    else:
+        fields = tuple(image[..., i] for i in range(3))
     planes = [
-        jax.nn.one_hot(image[..., i], n, dtype=dtype)
-        for i, n in enumerate(OBS_CHANNELS)
+        jax.nn.one_hot(f, n, dtype=dtype)
+        for f, n in zip(fields, OBS_CHANNELS)
     ]
     return jnp.concatenate(planes, axis=-1)
 
@@ -56,6 +69,9 @@ class ActorCritic(nn.Module):
     #: the mission string, base.py:368-376) — it enters the encoder as a
     #: one-hot feature vector.
     num_missions: int = 0
+    #: Expect bit-packed observation images (``VectorEnv(packed_obs=True)``'s
+    #: kernel-native format) instead of (vs, vs, 3) triples.
+    packed_obs: bool = False
 
     @nn.compact
     def __call__(
@@ -64,7 +80,7 @@ class ActorCritic(nn.Module):
         direction: jax.Array,
         mission: jax.Array | None = None,
     ):
-        x = one_hot_image(image, self.dtype)
+        x = one_hot_image(image, self.dtype, packed=self.packed_obs)
         theta = direction.astype(self.dtype) * (jnp.pi / 2)
         dir_feats = jnp.stack([jnp.cos(theta), jnp.sin(theta)], axis=-1)
         if self.num_missions > 0 and mission is not None:

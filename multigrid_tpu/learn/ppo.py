@@ -42,9 +42,10 @@ class PPOConfig:
     max_grad_norm: float = 0.5
     epochs: int = struct.field(pytree_node=False, default=1)
     #: SGD minibatches per epoch (RLlib PPO reuses the batch in shuffled
-    #: minibatches; 1 = whole-batch updates). The (T·E) batch is flattened,
-    #: permuted per epoch and split — note the permutation crosses the
-    #: sharded env axis, so prefer 1 for multi-host meshes.
+    #: minibatches; 1 = whole-batch updates). Minibatches are contiguous env
+    #: blocks (unbiased — envs are iid) with a per-epoch T-permutation and
+    #: env-axis roll; no batch-wide gather, and nothing crosses the sharded
+    #: env axis on a mesh.
     minibatches: int = struct.field(pytree_node=False, default=1)
     #: Independent parameters per agent (the reference's policy_{i}).
     per_agent_policies: bool = struct.field(pytree_node=False, default=False)
@@ -58,6 +59,11 @@ class TrainState:
     last_obs: Any
     key: jax.Array
     update_count: jax.Array
+    #: (E,) running return of each env's current episode (all agents summed)
+    #: — carried across update boundaries so the episode_reward metric is
+    #: the exact mean episodic return (RLlib's episode_reward_mean), not a
+    #: window estimate biased by episodes straddling rollout windows.
+    ep_return_acc: jax.Array = None
 
 
 @struct.dataclass
@@ -72,6 +78,16 @@ class Rollout:
     done: jax.Array
     #: Mission indices for mission-parameterized envs (None otherwise).
     mission: jax.Array | None = None
+
+
+def _select_log_prob(logits: jax.Array, action: jax.Array) -> jax.Array:
+    """log softmax(logits)[action] as a one-hot contraction — a per-element
+    ``take_along_axis`` lowers to a gather, which serializes per env on TPU
+    (see CLAUDE.md perf rules); the masked sum is fusion-friendly."""
+    log_probs = jax.nn.log_softmax(logits)
+    onehot = jax.nn.one_hot(
+        action, logits.shape[-1], dtype=log_probs.dtype)
+    return jnp.sum(log_probs * onehot, axis=-1)
 
 
 def clip_by_global_norm_per_agent(max_norm: float):
@@ -108,8 +124,16 @@ def ppo_init(
     net: ActorCritic | None = None,
     config: PPOConfig | None = None,
     per_agent_policies: bool | None = None,
+    net_kwargs: dict | None = None,
 ):
     """Initialize (train_state, net, config, optimizer).
+
+    Prefer ``net_kwargs`` (e.g. ``dict(hidden=128, encoder='cnn')``) over a
+    prebuilt ``net``: the net is then constructed here with
+    ``num_missions`` sized from the env's mission space and ``packed_obs``
+    matched to the VectorEnv's observation format. A prebuilt ``net`` is
+    honored as-is — with a loud warning if the env surfaces a mission index
+    the net cannot condition on.
 
     ``PPOConfig(per_agent_policies=True)`` gives each agent its own
     parameters (the reference example trains an independent ``policy_{i}``
@@ -123,12 +147,26 @@ def ppo_init(
         config = config.replace(per_agent_policies=per_agent_policies)
     k_env, k_net, k_train = jax.random.split(key, 3)
     obs, env_state = venv.reset(k_env)
+    # Mission-parameterized envs surface an index in the obs — size the
+    # conditioning one-hot from the env's mission space automatically.
+    num_missions = len(venv.env.mission_space) if 'mission' in obs else 0
+    packed = bool(getattr(venv, 'packed_obs', False))
     if net is None:
-        # Mission-parameterized envs surface an index in the obs — size the
-        # conditioning one-hot from the env's mission space automatically.
-        num_missions = (
-            len(venv.env.mission_space) if 'mission' in obs else 0)
-        net = ActorCritic(num_missions=num_missions)
+        net = ActorCritic(
+            num_missions=num_missions, packed_obs=packed,
+            **(net_kwargs or {}))
+    else:
+        assert not net_kwargs, 'pass either net or net_kwargs, not both'
+        if num_missions and net.num_missions == 0:
+            import warnings
+            warnings.warn(
+                f'{type(venv.env).__name__} surfaces a mission index but '
+                'the supplied net has num_missions=0 — mission conditioning '
+                'is OFF. Construct the net via ppo_init(net_kwargs=...) to '
+                'auto-size it.', stacklevel=2)
+        assert net.packed_obs == packed, (
+            f'net.packed_obs={net.packed_obs} does not match '
+            f'VectorEnv(packed_obs={packed})')
     mission0 = obs['mission'][0, 0] if 'mission' in obs else None
     if config.per_agent_policies:
         net_keys = jax.random.split(k_net, venv.num_agents)
@@ -150,6 +188,7 @@ def ppo_init(
         last_obs=obs,
         key=k_train,
         update_count=jnp.zeros((), jnp.int32),
+        ep_return_acc=jnp.zeros((venv.num_envs,), jnp.float32),
     )
     return state, net, config, tx
 
@@ -193,33 +232,47 @@ def make_train_step(
             params, obs['image'], obs['direction'], obs.get('mission'))
         return logits, value
 
-    def rollout_phase(state: TrainState) -> tuple[TrainState, Rollout, jax.Array]:
+    def rollout_phase(state: TrainState):
         def body(carry, _):
-            env_state, obs, key = carry
+            env_state, obs, key, ep_acc, ep_sum, ep_cnt = carry
             key, k_act = jax.random.split(key)
             logits, value = policy(state.params, obs)
             action = jax.random.categorical(k_act, logits)
-            log_prob = jnp.take_along_axis(
-                jax.nn.log_softmax(logits), action[..., None], axis=-1
-            ).squeeze(-1)
+            log_prob = _select_log_prob(logits, action)
             next_obs, env_state, reward, term, trunc, done = venv.step(
                 env_state, action.astype(jnp.int32)
             )
+            # Exact episodic-return bookkeeping (all agents summed per
+            # episode — RLlib's episode_reward_mean convention): accumulate
+            # across update boundaries, bank on episode end.
+            ep_acc = ep_acc + reward.sum(-1)
+            ep_sum = ep_sum + jnp.where(done, ep_acc, 0.0).sum()
+            ep_cnt = ep_cnt + done.sum()
+            ep_acc = jnp.where(done, 0.0, ep_acc)
             step_data = Rollout(
                 image=obs['image'], direction=obs['direction'],
                 action=action, log_prob=log_prob, value=value,
                 reward=reward, done=done[:, None] | term,
                 mission=obs.get('mission'),
             )
-            return (env_state, next_obs, key), step_data
+            return (env_state, next_obs, key, ep_acc, ep_sum, ep_cnt), \
+                step_data
 
-        (env_state, last_obs, key), traj = jax.lax.scan(
-            body, (state.env_state, state.last_obs, state.key),
-            None, length=config.rollout_steps,
-        )
+        ep_acc0 = state.ep_return_acc
+        if ep_acc0 is None:  # restored from a pre-metric checkpoint
+            ep_acc0 = jnp.zeros((venv.num_envs,), jnp.float32)
+        (env_state, last_obs, key, ep_acc, ep_sum, ep_cnt), traj = \
+            jax.lax.scan(
+                body,
+                (state.env_state, state.last_obs, state.key, ep_acc0,
+                 jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)),
+                None, length=config.rollout_steps,
+            )
         _, last_value = policy(state.params, last_obs)
-        state = state.replace(env_state=env_state, last_obs=last_obs, key=key)
-        return state, traj, last_value
+        state = state.replace(
+            env_state=env_state, last_obs=last_obs, key=key,
+            ep_return_acc=ep_acc)
+        return state, traj, last_value, (ep_sum, ep_cnt)
 
     def compute_gae(traj: Rollout, last_value: jax.Array):
         def body(carry, step):
@@ -242,9 +295,7 @@ def make_train_step(
         logits, value = apply_net(
             params, traj.image, traj.direction, traj.mission)
         log_probs = jax.nn.log_softmax(logits)
-        log_prob = jnp.take_along_axis(
-            log_probs, traj.action[..., None], axis=-1
-        ).squeeze(-1)
+        log_prob = _select_log_prob(logits, traj.action)
         ratio = jnp.exp(log_prob - traj.log_prob)
         if config.per_agent_policies:
             # Normalize within each agent's own batch — pooling the stats
@@ -280,7 +331,7 @@ def make_train_step(
 
     @jax.jit
     def train_step(state: TrainState) -> tuple[TrainState, dict]:
-        state, traj, last_value = rollout_phase(state)
+        state, traj, last_value, (ep_sum, ep_cnt) = rollout_phase(state)
         advantages, targets = compute_gae(traj, last_value)
 
         params, opt_state = state.params, state.opt_state
@@ -291,29 +342,40 @@ def make_train_step(
                 params, opt_state, metrics = sgd_step(
                     params, opt_state, traj, advantages, targets)
         else:
-            # RLlib-style SGD: flatten (T, E) → B, shuffle per epoch, split
-            # into minibatches (scripts/train.py trains through RLlib PPO's
-            # minibatched SGD; multigrid/scripts/train.py:126-169).
+            # RLlib-style minibatched SGD (multigrid/scripts/train.py:126-169)
+            # without the full-batch permutation gather: a random permutation
+            # over the flattened (T·E) rows costs a B-row gather per epoch
+            # and crosses the sharded env axis on a mesh (all-to-all). The
+            # envs are iid, so partitioning minibatches as contiguous env
+            # blocks is already an unbiased sample; shuffling needs only to
+            # break (a) intra-env time ordering — a T-axis permutation
+            # (16-row coarse gather, never touches the env axis) — and
+            # (b) block composition across epochs — an env-axis roll (a ring
+            # shift; on a mesh a cheap collective permute, never all-to-all).
             t, e = advantages.shape[:2]
-            b = t * e
-            assert b % config.minibatches == 0, (
-                f'rollout batch {b} not divisible by '
+            assert e % config.minibatches == 0, (
+                f'env batch {e} not divisible by '
                 f'{config.minibatches} minibatches')
             key, k_perm = jax.random.split(state.key)
             state = state.replace(key=key)
-            batch = jax.tree.map(
-                lambda x: x.reshape((b,) + x.shape[2:]),
-                (traj, advantages, targets),
-            )
+            batch = (traj, advantages, targets)
 
             def epoch_body(carry, ek):
                 params, opt_state = carry
-                perm = jax.random.permutation(ek, b)
-                mb = jax.tree.map(
-                    lambda x: jnp.take(x, perm, axis=0).reshape(
-                        (config.minibatches, -1) + x.shape[1:]),
-                    batch,
-                )
+                k_t, k_e = jax.random.split(ek)
+                perm_t = jax.random.permutation(k_t, t)
+                off_e = jax.random.randint(k_e, (), 0, e)
+                c = e // config.minibatches
+
+                def shuffle(x):
+                    x = jnp.take(x, perm_t, axis=0)
+                    x = jnp.roll(x, off_e, axis=1)
+                    # (T, M, c, ...) → (M, T, c, ...): minibatch m is all T
+                    # steps of its env block.
+                    x = x.reshape((t, config.minibatches, c) + x.shape[2:])
+                    return jnp.swapaxes(x, 0, 1)
+
+                mb = jax.tree.map(shuffle, batch)
 
                 def mb_body(carry, data):
                     params, opt_state = carry
@@ -334,14 +396,14 @@ def make_train_step(
             metrics = jax.tree.map(lambda x: x[-1], ms)
 
         metrics['reward_per_step'] = traj.reward.mean()
-        # Mean episode return (all agents' rewards summed per episode, the
-        # RLlib episode_reward_mean convention) estimated over the batch:
-        # total reward / episodes completed in the rollout window.
-        env_done = traj.done.all(-1)
-        n_eps = env_done.sum()
-        metrics['episodes_in_batch'] = n_eps.astype(jnp.float32)
+        # Exact mean episodic return (all agents' rewards summed per episode,
+        # the RLlib episode_reward_mean convention) over episodes *completed*
+        # this update — the per-env accumulator carries across update
+        # boundaries, so straddling episodes are fully credited when they
+        # finish rather than biasing the window estimate.
+        metrics['episodes_in_batch'] = ep_cnt.astype(jnp.float32)
         metrics['episode_reward'] = jnp.where(
-            n_eps > 0, traj.reward.sum() / jnp.maximum(n_eps, 1), jnp.nan)
+            ep_cnt > 0, ep_sum / jnp.maximum(ep_cnt, 1), jnp.nan)
         state = state.replace(
             params=params, opt_state=opt_state,
             update_count=state.update_count + 1,

@@ -324,21 +324,24 @@ def _pad_packed(plane_t: jax.Array, w: int, h: int, vs: int) -> jax.Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=('view_size', 'see_through_walls', 'interpret'),
+    static_argnames=('view_size', 'see_through_walls', 'interpret', 'packed'),
 )
 def gen_obs_batched_pallas(
     state: MultiGridState,
     view_size: int,
     see_through_walls: bool,
     interpret: bool = False,
+    packed: bool = False,
 ) -> jax.Array:
     """Batched observation images via the fused kernel.
 
     Parameters: batched state with leading env axis E (E a multiple of the
     kernel block; callers fall back to the XLA path otherwise).
     Returns ``(E, N, vs, vs, 3)`` int32, bit-identical to
-    ``vmap(gen_obs_grid_encoding)``.
-    """
+    ``vmap(gen_obs_grid_encoding)`` — or, with ``packed=True``, the kernel's
+    native ``(E, N, vs, vs)`` bit-packed cells (``type<<8|color<<4|state``),
+    skipping the unpack epilogue (1/3 the output traffic; the training path
+    one-hots directly from the packed fields, learn/nets.py)."""
     vs = view_size
     e, w, h, _ = state.grid.shape
     n = state.agent_dir.shape[-1]
@@ -346,7 +349,7 @@ def gen_obs_batched_pallas(
     v2 = vs * vs
 
     # ---- XLA prologue: pack cells, overlay agents, go cell-major. ----------
-    packed = _pack(state.grid[..., 0], state.grid[..., 1], state.grid[..., 2])
+    cells = _pack(state.grid[..., 0], state.grid[..., 1], state.grid[..., 2])
     if n > 1:
         # Agent overlay in index order, skipping terminated (obs.py:162-173).
         cx = jnp.arange(w, dtype=jnp.int32).reshape(1, w, 1)
@@ -362,9 +365,9 @@ def gen_obs_batched_pallas(
                 | (state.agent_color[:, a].astype(jnp.int32) << 4)
                 | state.agent_dir[:, a].astype(jnp.int32)
             ).reshape(-1, 1, 1)
-            packed = jnp.where(m, enc, packed)
+            cells = jnp.where(m, enc, cells)
 
-    plane = _pad_packed(packed.reshape(e, w * h).T, w, h, vs)
+    plane = _pad_packed(cells.reshape(e, w * h).T, w, h, vs)
     stride = _row_stride(h, vs)
 
     top_x, top_y = get_view_exts(state.agent_dir, state.agent_pos, vs)
@@ -415,7 +418,9 @@ def gen_obs_batched_pallas(
         compiler_params=compiler_params,
     )(meta, plane)
 
-    # ---- XLA epilogue: unpack, back to env-major images. -------------------
+    # ---- XLA epilogue: back to env-major images (unpack unless packed). ----
+    if packed:
+        return out.T.reshape(e, n, vs, vs)
     img = jnp.stack([out >> 8, (out >> 4) & 15, out & 15], axis=-1)
     img = img.transpose(1, 0, 2)                   # (E, N*vs², 3)
     return img.reshape(e, n, vs, vs, 3)

@@ -64,12 +64,25 @@ class VectorEnv:
         use_pallas_obs: bool | None = None,
         reset_pool: bool | None = None,
         reset_pool_period: int | None = None,
+        packed_obs: bool = False,
     ):
         self.env = env
         self.num_envs = num_envs
         self.auto_reset = auto_reset
         self.mesh = mesh
         self._sharding = env_sharding(mesh) if mesh is not None else None
+        if packed_obs:
+            # Packed images are a training-throughput format: the obs
+            # kernel's native int32 cells (type<<8|color<<4|state) skip the
+            # 3-channel unpack and carry 1/3 the rollout-storage traffic.
+            # Observation wrappers expect channel triples, so only base envs
+            # qualify; 4-bit fields bound color/state indices.
+            from ..core.constants import Color, State
+            assert type(env).transform_obs is MultiGridEnv.transform_obs, (
+                'packed_obs requires an unwrapped env (observation wrappers '
+                'operate on (vs, vs, 3) channel triples)')
+            assert len(Color) <= 16 and len(State) <= 16
+        self.packed_obs = packed_obs
         if reset_pool is None:
             # Procedurally generated layouts (RoomGrid families) are far too
             # expensive to regenerate for every env every step — amortize
@@ -148,6 +161,8 @@ class VectorEnv:
         if self._sharding is not None:
             keys = jax.lax.with_sharding_constraint(keys, self._sharding)
         obs, state = jax.vmap(self.env.reset)(keys)
+        if self.packed_obs:
+            obs = self._pack_obs(obs)
         if self.reset_pool:
             state = self._attach_pool(state, pool_key)
         return self._constrain((obs, state))
@@ -319,7 +334,7 @@ class VectorEnv:
             def kernel_fn(s):
                 image = gen_obs_batched_pallas(
                     s, cfg.view_size, cfg.see_through_walls,
-                    interpret=interpret,
+                    interpret=interpret, packed=self.packed_obs,
                 )
                 return {'image': image, 'direction': s.agent_dir}
 
@@ -331,12 +346,27 @@ class VectorEnv:
                     check_vma=False,
                 )
             return kernel_fn(state)
-        return jax.vmap(lambda s: gen_obs(cfg, s))(state)
+        obs = jax.vmap(lambda s: gen_obs(cfg, s))(state)
+        return self._pack_obs(obs) if self.packed_obs else obs
+
+    def _pack_obs(self, obs):
+        """Pack (…, vs, vs, 3) channel triples into the kernel's int32 cell
+        format (bit-identical to the Pallas ``packed=True`` output)."""
+        img = obs['image']
+        packed = (
+            (img[..., 0].astype(jnp.int32) << 8)
+            | (img[..., 1].astype(jnp.int32) << 4)
+            | img[..., 2].astype(jnp.int32)
+        )
+        return {**obs, 'image': packed}
 
     @functools.partial(jax.jit, static_argnums=0)
     def observe(self, state: MultiGridState):
         state, _ = self._strip_pool(state)
-        return self._constrain(jax.vmap(self.env.observe)(state))
+        obs = jax.vmap(self.env.observe)(state)
+        if self.packed_obs:
+            obs = self._pack_obs(obs)
+        return self._constrain(obs)
 
     @functools.partial(jax.jit, static_argnums=0)
     def obs_both_paths(self, state: MultiGridState):

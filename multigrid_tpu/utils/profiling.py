@@ -32,9 +32,14 @@ def trace_to(log_dir: str):
 
 def force_completion(tree) -> float:
     """Block until a pytree's computation truly finished; returns a checksum
-    (a host transfer is the only reliable barrier through remote backends)."""
-    leaf = jax.tree.leaves(tree)[0]
-    return float(np.asarray(leaf).ravel()[0])
+    (a host transfer is the only reliable barrier through remote backends —
+    and it must touch EVERY leaf: remote runtimes can surface individual
+    output buffers before the whole program retires, so pulling one leaf
+    under-measures by whole phases)."""
+    total = 0.0
+    for leaf in jax.tree.leaves(tree):
+        total += float(np.asarray(leaf).ravel()[0])
+    return total
 
 
 class PhaseTimer:

@@ -58,6 +58,8 @@ def main():
     p.add_argument('--encoder', default='mlp', choices=['mlp', 'cnn'])
     p.add_argument('--rollout-steps', type=int, default=16)
     p.add_argument('--updates-per-call', type=int, default=8)
+    p.add_argument('--stages', default='ABCE',
+                   help='subset of stages to run (compile time adds up)')
     args = p.parse_args()
 
     env = make(args.env_id, agents=args.agents)
@@ -74,17 +76,22 @@ def main():
 
     results = {}
 
+    def emit(k, rate):
+        results[k] = rate
+        print(f'{k:28s} {rate/1e6:8.1f} M agent-steps/s', flush=True)
+
     # ---- A: env-only --------------------------------------------------------
-    _, st = venv.reset(jax.random.key(1))
-    def env_only(st):
-        return venv.rollout_random(st, jax.random.key(2), steps_per_call)
-    st, summary = env_only(st)
-    int(summary['obs_sum'])
-    t0 = time.perf_counter()
-    st, summary = env_only(st)
-    int(summary['obs_sum'])
-    dt = time.perf_counter() - t0
-    results['A_env_only'] = agent_steps / dt
+    if 'A' in args.stages:
+        _, st = venv.reset(jax.random.key(1))
+        def env_only(st):
+            return venv.rollout_random(st, jax.random.key(2), steps_per_call)
+        st, summary = env_only(st)
+        int(summary['obs_sum'])
+        t0 = time.perf_counter()
+        st, summary = env_only(st)
+        int(summary['obs_sum'])
+        dt = time.perf_counter() - t0
+        emit('A_env_only', agent_steps / dt)
 
     # ---- B/C/D/E: nested train-step stages ----------------------------------
     # Rebuild the internals the same way make_train_step does.
@@ -112,8 +119,9 @@ def main():
             None, length=steps_per_call)
         return acc
 
-    dt = timed(rollout_nostore, state)
-    results['B_rollout_policy_nostore'] = agent_steps / dt
+    if 'B' in args.stages:
+        dt = timed(rollout_nostore, state)
+        emit('B_rollout_policy_nostore', agent_steps / dt)
 
     # C: full rollout_phase incl. storage (scan over upc rollouts)
     train_step_parts = ppo_mod.make_train_step(venv, net, config, tx)
@@ -154,19 +162,19 @@ def main():
         state = state.replace(env_state=env_state, last_obs=last_obs, key=key)
         return state, traj, last_value
 
-    dt = timed(rollout_store, state)
-    results['C_rollout_stored'] = agent_steps / dt
+    if 'C' in args.stages:
+        dt = timed(rollout_store, state)
+        emit('C_rollout_stored', agent_steps / dt)
 
     # E: the full fused train loop
-    def full(state):
-        s, metrics = ts_full(state)
-        return metrics['loss']
-    dt = timed(full, state)
-    results['E_full_train'] = agent_steps / dt
+    if 'E' in args.stages:
+        def full(state):
+            s, metrics = ts_full(state)
+            return metrics['loss']
+        dt = timed(full, state)
+        emit('E_full_train', agent_steps / dt)
 
-    for k, v in results.items():
-        print(f'{k:28s} {v/1e6:8.1f} M agent-steps/s')
-    print(json.dumps({k: round(v) for k, v in results.items()}))
+    print(json.dumps({k: round(v) for k, v in results.items()}), flush=True)
 
 
 if __name__ == '__main__':

@@ -78,13 +78,17 @@ def parse_args() -> argparse.Namespace:
                    help='append per-update metrics as JSON lines')
     p.add_argument('--mesh', action='store_true',
                    help='shard the env batch over all local devices')
+    p.add_argument('--no-packed-obs', action='store_true',
+                   help='store rollouts as (vs, vs, 3) channel triples '
+                        'instead of the default bit-packed int32 cells '
+                        '(packed carries 1/3 the HBM traffic)')
     return p.parse_args()
 
 
 def train(args: argparse.Namespace) -> None:
     from multigrid_tpu.envs import make
     from multigrid_tpu.learn import (
-        ActorCritic, PPOConfig, make_train_loop, make_train_step, ppo_init)
+        PPOConfig, make_train_loop, make_train_step, ppo_init)
     from multigrid_tpu.parallel import VectorEnv, make_mesh
     from multigrid_tpu.utils.checkpoint import (
         latest_checkpoint, restore_checkpoint, save_checkpoint)
@@ -92,16 +96,20 @@ def train(args: argparse.Namespace) -> None:
 
     env = make(args.env, agents=args.num_agents, **args.env_config)
     mesh = make_mesh() if args.mesh else None
-    venv = VectorEnv(env, args.num_envs, mesh=mesh)
+    venv = VectorEnv(env, args.num_envs, mesh=mesh,
+                     packed_obs=not args.no_packed_obs)
     config = PPOConfig(
         rollout_steps=args.rollout_steps, lr=args.lr, gamma=args.gamma,
         ent_coef=args.ent_coef, epochs=args.epochs,
         minibatches=args.minibatches,
         per_agent_policies=args.per_agent_policies,
     )
-    net = ActorCritic(hidden=args.hidden, encoder=args.encoder)
+    # The net is constructed inside ppo_init so num_missions auto-sizes from
+    # the env's mission space (BlockedUnlockPickup etc. condition on the
+    # mission index) and the obs format matches the VectorEnv.
     state, net, config, tx = ppo_init(
-        venv, jax.random.key(args.seed), net=net, config=config)
+        venv, jax.random.key(args.seed), config=config,
+        net_kwargs=dict(hidden=args.hidden, encoder=args.encoder))
 
     if args.load_dir:
         ckpt = latest_checkpoint(args.load_dir)

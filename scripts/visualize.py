@@ -50,14 +50,19 @@ def visualize(args: argparse.Namespace) -> list[np.ndarray]:
 
     policy = None
     if args.load_dir:
-        from multigrid_tpu.learn import ActorCritic, PPOConfig, ppo_init
+        from multigrid_tpu.learn import PPOConfig, ppo_init
         from multigrid_tpu.parallel import VectorEnv
         from multigrid_tpu.utils.checkpoint import (
             latest_checkpoint, restore_checkpoint)
-        net = ActorCritic(hidden=args.hidden, encoder=args.encoder)
         config = PPOConfig(per_agent_policies=args.per_agent_policies)
+        # Build the net through ppo_init so num_missions auto-sizes from the
+        # env's mission space, exactly as scripts/train.py did — restoring a
+        # mission-conditioned checkpoint then just works. The single-env
+        # rollout below feeds unpacked obs, so mirror the trainer's params
+        # with an unpacked-format net (parameter shapes are identical).
         tmp_state, net, _, _ = ppo_init(
-            VectorEnv(env, 1), jax.random.key(0), net=net, config=config)
+            VectorEnv(env, 1), jax.random.key(0), config=config,
+            net_kwargs=dict(hidden=args.hidden, encoder=args.encoder))
         ckpt = latest_checkpoint(args.load_dir)
         assert ckpt, f'no checkpoint under {args.load_dir}'
         try:
@@ -66,18 +71,26 @@ def visualize(args: argparse.Namespace) -> list[np.ndarray]:
             raise SystemExit(
                 f'failed to restore {ckpt}: {exc}\n'
                 'Hint: --per-agent-policies, --hidden, --encoder and '
-                '--num-agents must match the training run.'
+                '--num-agents must match the training run (mission '
+                'conditioning and obs format are sized automatically).'
             ) from exc
         print(f'loaded policy from {ckpt}')
 
         @jax.jit
         def policy(key, obs):
+            mission = obs.get('mission') if net.num_missions else None
             if args.per_agent_policies:
                 # obs arrays are (N, ...): one parameter slice per agent.
-                logits, _ = jax.vmap(net.apply)(
-                    params, obs['image'], obs['direction'])
+                if mission is None:
+                    logits, _ = jax.vmap(
+                        lambda p, i, d: net.apply(p, i, d)
+                    )(params, obs['image'], obs['direction'])
+                else:
+                    logits, _ = jax.vmap(net.apply)(
+                        params, obs['image'], obs['direction'], mission)
             else:
-                logits, _ = net.apply(params, obs['image'], obs['direction'])
+                logits, _ = net.apply(
+                    params, obs['image'], obs['direction'], mission)
             return jax.random.categorical(key, logits).astype(jnp.int32)
 
     frames: list[np.ndarray] = []

@@ -36,6 +36,12 @@ def test_pallas_matches_xla(env_id, agents, stw):
     got = gen_obs_batched_pallas(state, vs, stw, interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
+    # packed=True skips the unpack epilogue; fields must match bit-exactly.
+    packed = gen_obs_batched_pallas(
+        state, vs, stw, interpret=True, packed=True)
+    repack = (ref[..., 0] << 8) | (ref[..., 1] << 4) | ref[..., 2]
+    np.testing.assert_array_equal(np.asarray(packed), np.asarray(repack))
+
 
 @pytest.mark.parametrize('view_size', [3, 5, 9])
 def test_pallas_view_sizes(view_size):

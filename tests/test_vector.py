@@ -185,3 +185,56 @@ def test_reset_pool_rotation_determinism():
     assert len(seqs[0]) == 3
     for a, b in zip(*seqs):
         np.testing.assert_array_equal(a, b)
+
+
+def test_packed_obs_equivalence():
+    """packed_obs=True returns bit-packed cells equal to packing the default
+    triples; nets one-hot them to identical features (learn/nets.py)."""
+    env = make('MultiGrid-Empty-8x8-v0', agents=2)
+    v_plain = VectorEnv(env, 8)
+    v_packed = VectorEnv(env, 8, packed_obs=True)
+    obs_p, st_p = v_plain.reset(jax.random.key(5))
+    obs_k, st_k = v_packed.reset(jax.random.key(5))
+    repack = (
+        (obs_p['image'][..., 0].astype(jnp.int32) << 8)
+        | (obs_p['image'][..., 1].astype(jnp.int32) << 4)
+        | obs_p['image'][..., 2].astype(jnp.int32))
+    np.testing.assert_array_equal(np.asarray(obs_k['image']),
+                                  np.asarray(repack))
+    for t in range(5):
+        actions = jnp.full((8, 2), t % 7, dtype=jnp.int32)
+        obs_p, st_p, *rest_p = v_plain.step(st_p, actions)
+        obs_k, st_k, *rest_k = v_packed.step(st_k, actions)
+        repack = (
+            (obs_p['image'][..., 0].astype(jnp.int32) << 8)
+            | (obs_p['image'][..., 1].astype(jnp.int32) << 4)
+            | obs_p['image'][..., 2].astype(jnp.int32))
+        np.testing.assert_array_equal(np.asarray(obs_k['image']),
+                                      np.asarray(repack))
+
+    # one_hot_image(packed) == one_hot_image(triples)
+    from multigrid_tpu.learn.nets import one_hot_image
+    a = one_hot_image(obs_p['image'], dtype=jnp.float32)
+    b = one_hot_image(obs_k['image'], dtype=jnp.float32, packed=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # Wrapped envs must refuse the packed format.
+    from multigrid_tpu.wrappers import OneHotObsWrapper
+    with pytest.raises(AssertionError):
+        VectorEnv(OneHotObsWrapper(env), 8, packed_obs=True)
+
+
+def test_ppo_trains_with_packed_obs():
+    """The PPO stack runs end-to-end on the packed format (the default for
+    scripts/train.py) and matches parameter shapes with the unpacked net."""
+    from multigrid_tpu.learn import PPOConfig, make_train_step, ppo_init
+    env = make('MultiGrid-Empty-5x5-v0', agents=2)
+    venv = VectorEnv(env, 8, packed_obs=True)
+    state, net, config, tx = ppo_init(
+        venv, jax.random.key(0), config=PPOConfig(rollout_steps=4),
+        net_kwargs=dict(encoder='mlp'))
+    assert net.packed_obs
+    step = make_train_step(venv, net, config, tx)
+    state, metrics = step(state)
+    assert np.isfinite(float(metrics['loss']))
+    assert int(state.update_count) == 1
