@@ -30,16 +30,29 @@ def one_hot_image(
     (``type<<8 | color<<4 | state``, the obs kernel's native encoding —
     storing rollouts packed carries 1/3 the HBM traffic of the triples).
     Both produce identical (..., vs, vs, 21) planes.
+
+    The construction is ONE fused elementwise comparison against per-channel
+    (shift, mask, value) constants — building three per-field one-hots and
+    concatenating them materializes the 21-channel tensor three times over
+    in HBM, which XLA does not fuse away and which dominated the measured
+    PPO rollout cost (~300 MB/step at the flagship batch).
     """
+    widths = OBS_CHANNELS
+    edges = (widths[0], widths[0] + widths[1])
+    ch = jnp.arange(sum(widths), dtype=jnp.int32)
     if packed:
-        fields = (image >> 8, (image >> 4) & 15, image & 15)
-    else:
-        fields = tuple(image[..., i] for i in range(3))
-    planes = [
-        jax.nn.one_hot(f, n, dtype=dtype)
-        for f, n in zip(fields, OBS_CHANNELS)
-    ]
-    return jnp.concatenate(planes, axis=-1)
+        shift = jnp.where(ch < edges[0], 8, jnp.where(ch < edges[1], 4, 0))
+        mask = jnp.where(ch < edges[0], -1, 15)
+        cmp = ch - jnp.where(
+            ch < edges[0], 0, jnp.where(ch < edges[1], edges[0], edges[1]))
+        return (
+            ((image[..., None] >> shift) & mask) == cmp
+        ).astype(dtype)
+    field = jnp.where(
+        ch < edges[0], 0, jnp.where(ch < edges[1], 1, 2))
+    cmp = ch - jnp.where(
+        ch < edges[0], 0, jnp.where(ch < edges[1], edges[0], edges[1]))
+    return (jnp.take(image, field, axis=-1) == cmp).astype(dtype)
 
 
 class ActorCritic(nn.Module):
@@ -79,8 +92,14 @@ class ActorCritic(nn.Module):
         image: jax.Array,
         direction: jax.Array,
         mission: jax.Array | None = None,
+        *,
+        fused: bool | str = False,
     ):
-        x = one_hot_image(image, self.dtype, packed=self.packed_obs)
+        """``fused`` routes the first layer through the Pallas
+        one-hot→dense kernel (ops/fused_linear.py) — rollout-time inference
+        only (no VJP); pass ``'interpret'`` for the CPU equality tests.
+        Requires ``packed_obs`` and the mlp encoder; parameters are shared
+        with the XLA expression, so the learner's gradients apply."""
         theta = direction.astype(self.dtype) * (jnp.pi / 2)
         dir_feats = jnp.stack([jnp.cos(theta), jnp.sin(theta)], axis=-1)
         if self.num_missions > 0 and mission is not None:
@@ -89,23 +108,42 @@ class ActorCritic(nn.Module):
                 jax.nn.one_hot(mission, self.num_missions, dtype=self.dtype),
             ], axis=-1)
 
+        # The direction/mission features enter the first layer as an ADDITIVE
+        # dense contribution instead of a channel concat: concatenating a
+        # 2-channel plane onto the (vs, vs, 21) one-hot forces a full copy of
+        # the feature tensor per step (and broadcasting constant planes, as
+        # the reference does at scripts/train.py:56-63, is mathematically a
+        # per-position bias — W·[x; d] == W_x·x + W_d·d).
         if self.encoder == 'cnn':
-            # Direction (and mission) as constant feature planes
-            # (scripts/train.py:56-63).
-            dir_planes = jnp.broadcast_to(
-                dir_feats[..., None, None, :],
-                x.shape[:-1] + (dir_feats.shape[-1],)
-            )
-            x = jnp.concatenate([x, dir_planes], axis=-1)
-            for feat in (16, 32, 64):
+            x = one_hot_image(image, self.dtype, packed=self.packed_obs)
+            h = nn.Conv(16, (3, 3), padding='VALID', dtype=self.dtype)(x)
+            d = nn.Dense(16, use_bias=False, dtype=self.dtype)(dir_feats)
+            x = nn.relu(h + d[..., None, None, :])
+            for feat in (32, 64):
                 x = nn.Conv(feat, (3, 3), padding='VALID', dtype=self.dtype)(x)
                 x = nn.relu(x)
             x = x.reshape(x.shape[:-3] + (-1,))
         else:
-            x = jnp.concatenate(
-                [x.reshape(x.shape[:-3] + (-1,)), dir_feats], axis=-1
-            )
-            x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype)(x))
+            if self.packed_obs:
+                c = image.shape[-1] * image.shape[-2]
+            else:
+                c = image.shape[-2] * image.shape[-3]
+            from ..ops.fused_linear import _NCH
+            w = self.param(
+                'img_kernel', nn.initializers.lecun_normal(),
+                (c * _NCH, self.hidden), jnp.float32)
+            if fused:
+                assert self.packed_obs, 'fused path needs packed observations'
+                from ..ops.fused_linear import onehot_linear_packed
+                flat = image.reshape((-1, c))
+                h = onehot_linear_packed(
+                    flat, w, interpret=fused == 'interpret')
+                h = h.reshape(image.shape[:-2] + (self.hidden,))
+            else:
+                x = one_hot_image(image, self.dtype, packed=self.packed_obs)
+                h = x.reshape(x.shape[:-3] + (-1,)) @ w.astype(self.dtype)
+            d = nn.Dense(self.hidden, dtype=self.dtype)(dir_feats)
+            x = nn.relu(h + d)
         # The wide dense layer is the natural tensor-parallel shard point;
         # the training step constrains its output over the 'model' mesh axis.
         x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype)(x))

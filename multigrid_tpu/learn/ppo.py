@@ -226,10 +226,31 @@ def make_train_step(
     else:
         apply_net = net.apply
 
+    # Rollout-time inference routes the first layer through the fused
+    # one-hot→dense Pallas kernel when eligible (packed obs, mlp encoder,
+    # TPU, kernel-tileable batch): the XLA expression of the one-hot
+    # expansion materializes ~0.5 GB/step of HBM traffic at the flagship
+    # batch; the kernel keeps it in VMEM. The learner's forward/backward
+    # (loss_fn) stays on the XLA path — same parameters, amortized once per
+    # update, and differentiable.
+    from ..ops.fused_linear import supports_batch as _fused_ok
+    fused_rollout = (
+        getattr(net, 'encoder', None) == 'mlp'
+        and getattr(net, 'packed_obs', False)
+        and not config.per_agent_policies
+        and jax.default_backend() == 'tpu'
+        and _fused_ok(venv.num_envs * venv.num_agents)
+    )
+
     def policy(params, obs):
         # obs arrays are (E, N, ...): flatten agents into the batch.
-        logits, value = apply_net(
-            params, obs['image'], obs['direction'], obs.get('mission'))
+        if fused_rollout:
+            logits, value = net.apply(
+                params, obs['image'], obs['direction'], obs.get('mission'),
+                fused=True)
+        else:
+            logits, value = apply_net(
+                params, obs['image'], obs['direction'], obs.get('mission'))
         return logits, value
 
     def rollout_phase(state: TrainState):

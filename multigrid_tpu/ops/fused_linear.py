@@ -1,0 +1,145 @@
+"""Fused one-hot → dense Pallas kernel for the policy's first layer.
+
+The PPO rollout's dominant cost (measured via XLA cost analysis at the
+flagship batch) is not the MXU matmul but the HBM traffic of materializing
+the 21-channel one-hot feature tensor: XLA keeps ~8 copies of the
+(B, vs·vs·21) expansion live per step (~0.5 GB/step at B = 16384). This
+kernel contracts the one-hot expansion against the layer weights entirely in
+VMEM: HBM traffic collapses to the packed cells in (B·C·4 bytes) and the
+activations out (B·H·2 bytes).
+
+Layout: **batch in lanes, features in sublanes** (the obs kernel's
+convention). The one-hot matrix is built channel-major — row r = ch·C + cell
+— so replicating each cell's packed value across its 21 channel rows is a
+plain sublane concatenation (no in-kernel gathers, which Mosaic lacks), and
+the per-row (shift, mask, cmp) decode constants come from a sublane iota:
+
+    M[ch·C + cell, b] = ((packed[cell, b] >> shift(ch)) & mask(ch)) == cmp(ch)
+
+The weights arrive pre-transposed/reordered to (H, 21·C) so the kernel is a
+single MXU dot per block: out = W_r @ M → (H, block) f32 → bf16.
+
+Used for rollout-time inference only (the learner's forward/backward runs
+the standard XLA expression, whose cost is amortized once per update), so no
+custom VJP is needed. Bit-compatibility with the XLA path is not required —
+both compute the same f32-accumulated matmul — but equality holds to bf16
+rounding and is tested in interpret mode (tests/test_fused_linear.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+#: One-hot channel widths (type, color, max(state, direction)) — must match
+#: learn/nets.OBS_CHANNELS (frozen wire format, multigrid/wrappers.py:139-147).
+_WIDTHS = (11, 6, 4)
+_NCH = sum(_WIDTHS)
+
+_BLOCK = 512  # lanes per kernel invocation
+
+
+def supports_batch(b: int) -> bool:
+    block = min(_BLOCK, b)
+    return b % 128 == 0 and b % block == 0
+
+
+def _decode_consts(c: int):
+    """(shift, mask, cmp) per one-hot row r = ch·C + cell, as (21·C, 1)
+    iota-derived int32 columns (Pallas kernels cannot capture array
+    constants)."""
+    rows = _NCH * c
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    ch = r // c
+    e0, e1 = _WIDTHS[0], _WIDTHS[0] + _WIDTHS[1]
+    shift = jnp.where(ch < e0, 8, jnp.where(ch < e1, 4, 0))
+    mask = jnp.where(ch < e0, -1, 15)
+    cmp = ch - jnp.where(ch < e0, 0, jnp.where(ch < e1, e0, e1))
+    return shift, mask, cmp
+
+
+def _kernel(p_ref, w_ref, o_ref, *, c: int, compute_dtype):
+    # p_ref: (C, TB) int32 packed cells; w_ref: (H, 21·C) (reordered);
+    # o_ref: (H, TB) bf16. compute_dtype is bf16 on TPU (MXU); the CPU
+    # interpreter cannot execute bf16 dots, so tests run f32.
+    p = p_ref[:, :]
+    rep = jnp.concatenate([p] * _NCH)           # (21·C, TB), row r=ch·C+cell
+    shift, mask, cmp = _decode_consts(c)
+    m = (((rep >> shift) & mask) == cmp).astype(compute_dtype)
+    out = jnp.dot(
+        w_ref[:, :].astype(compute_dtype), m,
+        preferred_element_type=jnp.float32)
+    o_ref[:, :] = out.astype(jnp.bfloat16)
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def onehot_linear_packed(
+    packed: jax.Array, w: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """ReLU-less first-layer pre-activation from packed observation cells.
+
+    Parameters
+    ----------
+    packed : (B, C) int32 — C cells per row, ``type<<8|color<<4|state``
+    w : (C·21, H) — the flax Dense kernel over the flattened one-hot
+        features (feature index = cell·21 + ch)
+
+    Returns
+    -------
+    (B, H) bfloat16, equal (to bf16 rounding) to
+    ``one_hot_image(packed).reshape(B, C·21) @ w``.
+    """
+    b, c = packed.shape
+    h = w.shape[1]
+    assert w.shape[0] == c * _NCH, (w.shape, c)
+    block = min(_BLOCK, b)
+    assert interpret or supports_batch(b), (
+        f'batch {b} does not tile into {block}-lane blocks')
+    # Pad the cell count to a sublane tile (8) so each of the kernel's 21
+    # concatenated channel slabs is tile-aligned (unaligned sublane concats
+    # choke Mosaic). Pad cells carry a value no channel comparison matches
+    # (type 0x7FF, color/state 15) → their one-hot rows are all-zero and the
+    # matching zero rows padded into the weights contribute nothing.
+    cp = (c + 7) // 8 * 8
+    if cp != c:
+        pad_val = (0x7FF << 8) | (15 << 4) | 15
+        packed = jnp.concatenate([
+            packed,
+            jnp.full((b, cp - c), pad_val, dtype=packed.dtype),
+        ], axis=1)
+    # Reorder weights feature-major → channel-major rows, transpose to
+    # (H, 21·Cp): one small XLA op per step (~264 KB).
+    w3 = w.reshape(c, _NCH, h)
+    if cp != c:
+        w3 = jnp.concatenate(
+            [w3, jnp.zeros((cp - c, _NCH, h), w3.dtype)], axis=0)
+    w_r = (
+        w3.transpose(1, 0, 2)
+        .reshape(_NCH * cp, h)
+        .T.astype(jnp.bfloat16)
+    )
+    c = cp
+    grid_spec = pl.GridSpec(
+        grid=(b // block,),
+        in_specs=[
+            pl.BlockSpec((c, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, _NCH * c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((h, block), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, c=c,
+            compute_dtype=jnp.float32 if interpret else jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((h, b), jnp.bfloat16),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(packed.T, w_r)
+    return out.T
