@@ -134,10 +134,9 @@ class ActorCritic(nn.Module):
                 (c * _NCH, self.hidden), jnp.float32)
             if fused:
                 assert self.packed_obs, 'fused path needs packed observations'
-                from ..ops.fused_linear import onehot_linear_packed
+                from ..ops.fused_linear import onehot_linear
                 flat = image.reshape((-1, c))
-                h = onehot_linear_packed(
-                    flat, w, interpret=fused == 'interpret')
+                h = onehot_linear(flat, w, fused == 'interpret')
                 h = h.reshape(image.shape[:-2] + (self.hidden,))
             else:
                 x = one_hot_image(image, self.dtype, packed=self.packed_obs)
@@ -148,6 +147,11 @@ class ActorCritic(nn.Module):
         # the training step constrains its output over the 'model' mesh axis.
         x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype)(x))
 
-        logits = nn.Dense(self.num_actions, dtype=jnp.float32)(x)
-        value = nn.Dense(1, dtype=jnp.float32)(x)
+        # Heads compute in bf16 like the trunk (f32 head compute makes the
+        # backward materialize f32 (batch, hidden) tensors — 2x the traffic
+        # of the entire bf16 trunk); only the small outputs are promoted, so
+        # log-softmax and the value loss still run in f32.
+        logits = nn.Dense(
+            self.num_actions, dtype=self.dtype)(x).astype(jnp.float32)
+        value = nn.Dense(1, dtype=self.dtype)(x).astype(jnp.float32)
         return logits, value.squeeze(-1)

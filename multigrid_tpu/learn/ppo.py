@@ -23,6 +23,7 @@ from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 
@@ -255,7 +256,7 @@ def make_train_step(
 
     def rollout_phase(state: TrainState):
         def body(carry, _):
-            env_state, obs, key, ep_acc, ep_sum, ep_cnt = carry
+            env_state, obs, key, ep_acc, ep_sum, ep_cnt, ep_suc = carry
             key, k_act = jax.random.split(key)
             logits, value = policy(state.params, obs)
             action = jax.random.categorical(k_act, logits)
@@ -265,10 +266,14 @@ def make_train_step(
             )
             # Exact episodic-return bookkeeping (all agents summed per
             # episode — RLlib's episode_reward_mean convention): accumulate
-            # across update boundaries, bank on episode end.
+            # across update boundaries, bank on episode end. An episode
+            # counts as a success when it banks a positive return (every
+            # registered env's success reward is positive and its failure /
+            # truncation return is ≤ 0, reference base.py:598-602).
             ep_acc = ep_acc + reward.sum(-1)
             ep_sum = ep_sum + jnp.where(done, ep_acc, 0.0).sum()
             ep_cnt = ep_cnt + done.sum()
+            ep_suc = ep_suc + (done & (ep_acc > 0)).sum()
             ep_acc = jnp.where(done, 0.0, ep_acc)
             step_data = Rollout(
                 image=obs['image'], direction=obs['direction'],
@@ -276,24 +281,25 @@ def make_train_step(
                 reward=reward, done=done[:, None] | term,
                 mission=obs.get('mission'),
             )
-            return (env_state, next_obs, key, ep_acc, ep_sum, ep_cnt), \
-                step_data
+            return (env_state, next_obs, key, ep_acc, ep_sum, ep_cnt,
+                    ep_suc), step_data
 
         ep_acc0 = state.ep_return_acc
         if ep_acc0 is None:  # restored from a pre-metric checkpoint
             ep_acc0 = jnp.zeros((venv.num_envs,), jnp.float32)
-        (env_state, last_obs, key, ep_acc, ep_sum, ep_cnt), traj = \
+        (env_state, last_obs, key, ep_acc, ep_sum, ep_cnt, ep_suc), traj = \
             jax.lax.scan(
                 body,
                 (state.env_state, state.last_obs, state.key, ep_acc0,
-                 jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)),
+                 jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32),
+                 jnp.zeros((), jnp.int32)),
                 None, length=config.rollout_steps,
             )
         _, last_value = policy(state.params, last_obs)
         state = state.replace(
             env_state=env_state, last_obs=last_obs, key=key,
             ep_return_acc=ep_acc)
-        return state, traj, last_value, (ep_sum, ep_cnt)
+        return state, traj, last_value, (ep_sum, ep_cnt, ep_suc)
 
     def compute_gae(traj: Rollout, last_value: jax.Array):
         def body(carry, step):
@@ -313,8 +319,20 @@ def make_train_step(
         return advantages, advantages + traj.value
 
     def loss_fn(params, traj: Rollout, advantages, targets):
-        logits, value = apply_net(
-            params, traj.image, traj.direction, traj.mission)
+        if fused_rollout and _fused_ok(
+                int(np.prod(traj.direction.shape))):
+            # Same fused first layer in the learner: the XLA one-hot
+            # expansion costs the same per sample here as it did in the
+            # rollout (it scales with T — invisible to rollout-length
+            # probes), and the kernel has a custom VJP for dW. (Measured
+            # dead end: jax.checkpoint around this apply drops 17.4M →
+            # 13.2M — the recompute re-runs the Pallas kernel serially with
+            # the backward instead of trading FLOPs for saved traffic.)
+            logits, value = net.apply(
+                params, traj.image, traj.direction, traj.mission, fused=True)
+        else:
+            logits, value = apply_net(
+                params, traj.image, traj.direction, traj.mission)
         log_probs = jax.nn.log_softmax(logits)
         log_prob = _select_log_prob(logits, traj.action)
         ratio = jnp.exp(log_prob - traj.log_prob)
@@ -352,7 +370,8 @@ def make_train_step(
 
     @jax.jit
     def train_step(state: TrainState) -> tuple[TrainState, dict]:
-        state, traj, last_value, (ep_sum, ep_cnt) = rollout_phase(state)
+        state, traj, last_value, (ep_sum, ep_cnt, ep_suc) = \
+            rollout_phase(state)
         advantages, targets = compute_gae(traj, last_value)
 
         params, opt_state = state.params, state.opt_state
@@ -425,6 +444,10 @@ def make_train_step(
         metrics['episodes_in_batch'] = ep_cnt.astype(jnp.float32)
         metrics['episode_reward'] = jnp.where(
             ep_cnt > 0, ep_sum / jnp.maximum(ep_cnt, 1), jnp.nan)
+        # Fraction of completed episodes that banked a positive return — the
+        # success-rate readout for sparse-reward envs (RedBlueDoors, BUP).
+        metrics['success_rate'] = jnp.where(
+            ep_cnt > 0, ep_suc / jnp.maximum(ep_cnt, 1), jnp.nan)
         state = state.replace(
             params=params, opt_state=opt_state,
             update_count=state.update_count + 1,

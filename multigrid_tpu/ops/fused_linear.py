@@ -40,7 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 _WIDTHS = (11, 6, 4)
 _NCH = sum(_WIDTHS)
 
-_BLOCK = 512  # lanes per kernel invocation
+_BLOCK = 1024  # lanes per kernel invocation (~8 MB VMEM working set)
 
 
 def supports_batch(b: int) -> bool:
@@ -143,3 +143,91 @@ def onehot_linear_packed(
         interpret=interpret,
     )(packed.T, w_r)
     return out.T
+
+
+def _grad_kernel(p_ref, g_ref, o_ref, *, c: int, compute_dtype):
+    # p_ref: (C, TB) packed cells; g_ref: (TB, H) upstream cotangent;
+    # o_ref: (21·C, H) f32 — accumulated across grid steps (same block
+    # every step: zero-init on the first, add after).
+    i = pl.program_id(0)
+    p = p_ref[:, :]
+    rep = jnp.concatenate([p] * _NCH)
+    shift, mask, cmp = _decode_consts(c)
+    m = (((rep >> shift) & mask) == cmp).astype(compute_dtype)
+    dw = jnp.dot(m, g_ref[:, :].astype(compute_dtype),
+                 preferred_element_type=jnp.float32)
+
+    @pl.when(i == 0)
+    def _init():
+        o_ref[:, :] = dw
+
+    @pl.when(i > 0)
+    def _acc():
+        o_ref[:, :] += dw
+
+
+def _onehot_linear_grad_w(
+    packed: jax.Array, g: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """dL/dw for :func:`onehot_linear_packed`: ``one_hot(packed)ᵀ @ g``,
+    with the one-hot built in VMEM exactly like the forward."""
+    b, c = packed.shape
+    h = g.shape[-1]
+    block = min(_BLOCK, b)
+    cp = (c + 7) // 8 * 8
+    if cp != c:
+        pad_val = (0x7FF << 8) | (15 << 4) | 15
+        packed = jnp.concatenate([
+            packed,
+            jnp.full((b, cp - c), pad_val, dtype=packed.dtype),
+        ], axis=1)
+    grid_spec = pl.GridSpec(
+        grid=(b // block,),
+        in_specs=[
+            pl.BlockSpec((cp, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, h), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_NCH * cp, h), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    dw_r = pl.pallas_call(
+        functools.partial(
+            _grad_kernel, c=cp,
+            compute_dtype=jnp.float32 if interpret else jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((_NCH * cp, h), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(packed.T, g.astype(jnp.bfloat16))
+    # channel-major rows (ch·Cp + cell) → feature-major (cell·21 + ch),
+    # dropping the zero pad cells.
+    dw = dw_r.reshape(_NCH, cp, h).transpose(1, 0, 2)[:c]
+    return dw.reshape(c * _NCH, h)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def onehot_linear(packed: jax.Array, w: jax.Array,
+                  interpret: bool = False) -> jax.Array:
+    """Differentiable wrapper: forward and dW both run as Pallas kernels
+    with the one-hot expansion confined to VMEM. dL/d(packed) is zero
+    (integer data); dL/dw = one_hot(packed)ᵀ @ g."""
+    return onehot_linear_packed(packed, w, interpret=interpret)
+
+
+def _fwd(packed, w, interpret):
+    # zero-length dtype witness: residuals must be jax types
+    return onehot_linear_packed(packed, w, interpret=interpret), \
+        (packed, jnp.zeros((0,), w.dtype))
+
+
+def _bwd(interpret, res, g):
+    packed, w_witness = res
+    dw = _onehot_linear_grad_w(packed, g, interpret=interpret)
+    return (
+        jnp.zeros(packed.shape, dtype=jax.dtypes.float0),
+        dw.astype(w_witness.dtype),
+    )
+
+
+onehot_linear.defvjp(_fwd, _bwd)

@@ -34,6 +34,10 @@ def main():
     p.add_argument('--minibatches', type=int, default=1)
     p.add_argument('--epochs', type=int, default=1)
     p.add_argument('--no-packed-obs', action='store_true')
+    p.add_argument('--mode', default='full',
+                   choices=['full', 'policy-nostore', 'store-nopolicy'],
+                   help='isolation modes: rollout with policy but no '
+                        'trajectory storage / random actions with storage')
     args = p.parse_args()
 
     from multigrid_tpu.envs import make
@@ -47,7 +51,42 @@ def main():
     state, net, config, tx = ppo_init(
         venv, jax.random.key(0), config=config,
         net_kwargs=dict(encoder=args.encoder, hidden=args.hidden))
-    loop = make_train_loop(venv, net, config, tx, args.updates_per_call)
+    if args.mode == 'full':
+        loop = make_train_loop(venv, net, config, tx, args.updates_per_call)
+    else:
+        steps = args.rollout_steps * args.updates_per_call
+        fused = jax.default_backend() == 'tpu' and not args.no_packed_obs
+
+        @jax.jit
+        def loop(state):
+            def body(carry, _):
+                env_state, obs, key, acc = carry
+                key, k = jax.random.split(key)
+                if args.mode == 'policy-nostore':
+                    logits, value = net.apply(
+                        state.params, obs['image'], obs['direction'],
+                        obs.get('mission'), fused=fused)
+                    action = jax.random.categorical(k, logits).astype(
+                        jnp.int32)
+                    acc = acc + value.sum()
+                    ys = None
+                else:
+                    action = jax.random.randint(
+                        k, (venv.num_envs, venv.num_agents), 0, 7, jnp.int32)
+                    ys = (obs['image'], obs['direction'], action)
+                obs2, env_state, reward, term, trunc, done = venv.step(
+                    env_state, action)
+                return (env_state, obs2, key, acc + reward.sum()), ys
+
+            (env_state, obs, key, acc), ys = jax.lax.scan(
+                body, (state.env_state, state.last_obs, state.key,
+                       jnp.zeros(())),
+                None, length=steps)
+            if ys is not None:
+                acc = acc + sum(jnp.sum(y).astype(jnp.float32) for y in
+                                jax.tree.leaves(ys))
+            return state.replace(env_state=env_state, last_obs=obs, key=key), \
+                {'loss': acc}
 
     @jax.jit
     def checksum(state, metrics):

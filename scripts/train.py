@@ -161,6 +161,7 @@ def train(args: argparse.Namespace) -> None:
                 'entropy': float(metrics['entropy']),
                 'episode_reward': float(metrics.get('episode_reward', float('nan'))),
                 'episodes_in_batch': float(metrics.get('episodes_in_batch', 0)),
+                'success_rate': float(metrics.get('success_rate', float('nan'))),
             }
             print(json.dumps(row))
             if log_f:

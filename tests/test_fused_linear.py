@@ -53,3 +53,28 @@ def test_supports_batch_gate():
         onehot_linear_packed(
             _random_packed(jax.random.key(0), 100, 49),
             jnp.zeros((49 * _NCH, 8), jnp.float32))
+
+
+def test_custom_vjp_grad_matches_xla():
+    """dL/dw through the Pallas backward kernel == autodiff of the XLA
+    expression (both bf16-operand, f32-accumulated)."""
+    from multigrid_tpu.ops.fused_linear import onehot_linear
+    b, c, h = 64, 49, 32
+    packed = _random_packed(jax.random.key(5), b, c)
+    w = jax.random.normal(jax.random.key(6), (c * _NCH, h), jnp.float32) * 0.1
+    g_tgt = jax.random.normal(jax.random.key(7), (b, h), jnp.float32)
+
+    def loss_fused(w):
+        return jnp.sum(
+            onehot_linear(packed, w, True).astype(jnp.float32) * g_tgt)
+
+    def loss_xla(w):
+        feats = one_hot_image(
+            packed.reshape(b, 7, 7), dtype=jnp.bfloat16, packed=True)
+        hh = feats.reshape(b, c * _NCH) @ w.astype(jnp.bfloat16)
+        return jnp.sum(hh.astype(jnp.float32) * g_tgt)
+
+    gw_fused = jax.grad(loss_fused)(w)
+    gw_xla = jax.grad(loss_xla)(w)
+    np.testing.assert_allclose(
+        np.asarray(gw_fused), np.asarray(gw_xla), rtol=5e-2, atol=5e-2)
