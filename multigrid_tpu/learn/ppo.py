@@ -30,6 +30,11 @@ from flax import struct
 from ..parallel.vector import VectorEnv
 from .nets import ActorCritic
 
+#: Test hook: route the fused Pallas paths (rollout first layer + PPO loss
+#: kernel) through the Pallas interpreter so CPU tests can exercise the
+#: exact code path that runs compiled on TPU. Read at make_train_step time.
+FUSED_INTERPRET = False
+
 
 @struct.dataclass
 class PPOConfig:
@@ -239,16 +244,17 @@ def make_train_step(
         getattr(net, 'encoder', None) == 'mlp'
         and getattr(net, 'packed_obs', False)
         and not config.per_agent_policies
-        and jax.default_backend() == 'tpu'
+        and (jax.default_backend() == 'tpu' or FUSED_INTERPRET)
         and _fused_ok(venv.num_envs * venv.num_agents)
     )
+    fused_mode = 'interpret' if FUSED_INTERPRET else True
 
     def policy(params, obs):
         # obs arrays are (E, N, ...): flatten agents into the batch.
         if fused_rollout:
             logits, value = net.apply(
                 params, obs['image'], obs['direction'], obs.get('mission'),
-                fused=True)
+                fused=fused_mode)
         else:
             logits, value = apply_net(
                 params, obs['image'], obs['direction'], obs.get('mission'))
@@ -329,7 +335,8 @@ def make_train_step(
             # 13.2M — the recompute re-runs the Pallas kernel serially with
             # the backward instead of trading FLOPs for saved traffic.)
             logits, value = net.apply(
-                params, traj.image, traj.direction, traj.mission, fused=True)
+                params, traj.image, traj.direction, traj.mission,
+                fused=fused_mode)
         else:
             logits, value = apply_net(
                 params, traj.image, traj.direction, traj.mission)
@@ -361,10 +368,45 @@ def make_train_step(
             'entropy': entropy,
         }
 
+    from ..ops.fused_ppo import ppo_mlp_grads
+    from ..ops.fused_ppo import supports as _loss_kernel_ok
+
     def sgd_step(params, opt_state, traj, advantages, targets):
-        grads, metrics = jax.grad(loss_fn, has_aux=True)(
-            params, traj, advantages, targets
-        )
+        b = int(np.prod(traj.direction.shape))
+        if fused_rollout and _loss_kernel_ok(
+                b, net.hidden, net.num_actions) and (
+                net.num_missions == 0 or traj.mission is not None):
+            # The whole loss forward+backward as ONE Pallas kernel
+            # (ops/fused_ppo.py): every (B, hidden) activation/residual
+            # stays in VMEM; HBM sees only the packed cells and the
+            # block-accumulated weight gradients. The env axis is moved in
+            # front of time before flattening so each device's sample block
+            # stays contiguous (the reshape is shard-local on a mesh).
+            def flat(x):
+                return jnp.swapaxes(x, 0, 1).reshape((b,) + x.shape[3:])
+
+            c = traj.image.shape[-1] * traj.image.shape[-2]
+            packed = flat(traj.image).reshape(b, c)
+            theta = flat(traj.direction).astype(net.dtype) * (jnp.pi / 2)
+            dirf = jnp.stack(
+                [jnp.cos(theta), jnp.sin(theta)], -1).astype(jnp.float32)
+            if net.num_missions and traj.mission is not None:
+                dirf = jnp.concatenate([
+                    dirf,
+                    jax.nn.one_hot(flat(traj.mission), net.num_missions,
+                                   dtype=jnp.float32)], axis=-1)
+            mu, sd = advantages.mean(), advantages.std()
+            advn = flat((advantages - mu) / (sd + 1e-8))
+            grads, metrics = ppo_mlp_grads(
+                params, packed, dirf, flat(traj.action),
+                flat(traj.log_prob), advn, flat(targets),
+                clip_eps=config.clip_eps, vf_coef=config.vf_coef,
+                ent_coef=config.ent_coef, num_actions=net.num_actions,
+                interpret=FUSED_INTERPRET)
+        else:
+            grads, metrics = jax.grad(loss_fn, has_aux=True)(
+                params, traj, advantages, targets
+            )
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, metrics
 
