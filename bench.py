@@ -21,6 +21,78 @@ import jax
 REFERENCE_AGENT_STEPS_PER_SEC = 4469.0
 
 
+def _verify_learn_kernels() -> dict:
+    """On-hardware checks of the two learner Pallas kernels against their
+    XLA counterparts (their interpret-mode equality is covered on CPU by
+    tests/test_fused_linear.py and tests/test_fused_ppo.py; this puts the
+    compiled-on-chip behavior into the recorded benchmark evidence).
+
+    Tolerances are bf16-rounding-scale: both paths compute the same
+    f32-accumulated math from bf16 operands, differing only in accumulation
+    order."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multigrid_tpu.learn.nets import ActorCritic, one_hot_image
+    from multigrid_tpu.ops.fused_linear import _NCH, onehot_linear_packed
+    from multigrid_tpu.ops.fused_ppo import ppo_mlp_grads
+
+    out = {}
+    try:
+        b, c, hdim = 256, 49, 128
+        ks = jax.random.split(jax.random.key(7), 8)
+        t = jax.random.randint(ks[0], (b, c), 0, 11)
+        co = jax.random.randint(ks[1], (b, c), 0, 6)
+        st = jax.random.randint(ks[2], (b, c), 0, 4)
+        packed = ((t << 8) | (co << 4) | st).astype(jnp.int32)
+        w = jax.random.normal(ks[3], (c * _NCH, hdim), jnp.float32)
+        got = np.asarray(onehot_linear_packed(packed, w), np.float32)
+        feats = one_hot_image(
+            packed.reshape(b, 7, 7), dtype=jnp.bfloat16, packed=True)
+        want = np.asarray(
+            feats.reshape(b, c * _NCH) @ w.astype(jnp.bfloat16), np.float32)
+        err = np.max(np.abs(got - want) / (np.abs(want) + 1.0))
+        out['fused_linear'] = 'pass' if err < 2e-2 else 'fail'
+
+        net = ActorCritic(encoder='mlp', packed_obs=True, dtype=jnp.float32)
+        params = net.init(
+            ks[4], packed[0].reshape(7, 7), jnp.zeros((), jnp.int32))
+        theta = jax.random.randint(
+            ks[5], (b,), 0, 4).astype(jnp.float32) * (jnp.pi / 2)
+        dirf = jnp.stack([jnp.cos(theta), jnp.sin(theta)], -1)
+        action = jax.random.randint(ks[6], (b,), 0, 7)
+        adv = jax.random.normal(ks[7], (b,))
+        adv = (adv - adv.mean()) / (adv.std() + 1e-8)
+        old_logp = jnp.full((b,), float(jnp.log(1 / 7.0)))
+        target = jnp.zeros((b,))
+
+        def xla_loss(p):
+            logits, value = net.apply(p, packed.reshape(b, 7, 7),
+                                      theta / (jnp.pi / 2))
+            lp_all = jax.nn.log_softmax(logits)
+            lp = jnp.sum(lp_all * jax.nn.one_hot(action, 7), -1)
+            ratio = jnp.exp(lp - old_logp)
+            pg = -jnp.minimum(
+                ratio * adv, jnp.clip(ratio, 0.8, 1.2) * adv).mean()
+            vf = 0.5 * jnp.square(value - target).mean()
+            ent = -(jnp.exp(lp_all) * lp_all).sum(-1).mean()
+            return pg + 0.5 * vf - 0.01 * ent
+
+        ref_grads = jax.grad(xla_loss)(params)
+        got_grads, _ = ppo_mlp_grads(
+            params, packed, dirf, action, old_logp, adv, target,
+            clip_eps=0.2, vf_coef=0.5, ent_coef=0.01)
+        rel = max(
+            float(np.max(np.abs(np.asarray(g) - np.asarray(r))
+                         / (np.abs(np.asarray(r)).max() + 1e-6)))
+            for g, r in zip(jax.tree.leaves(got_grads),
+                            jax.tree.leaves(ref_grads)))
+        out['fused_ppo'] = 'pass' if rel < 5e-2 else 'fail'
+    except Exception as exc:  # pragma: no cover - evidence, not control flow
+        out['kernel_verify_error'] = f'{type(exc).__name__}: {exc}'
+    return out
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument('--env-id', default='MultiGrid-Empty-16x16-v0')
@@ -66,6 +138,7 @@ def main() -> None:
     # kernel's correctness evidence on the real chip; interpret-mode equality
     # is separately covered by tests/test_obs_pallas.py on CPU).
     verify = 'skipped'
+    kernel_checks = {}
     if not args.skip_verify and venv.use_pallas_obs and mesh is None:
         import numpy as np
         verify = 'pass'
@@ -78,6 +151,9 @@ def main() -> None:
             state, s = venv.rollout_random(
                 state, jax.random.key(1000 + v), 17)
             int(s['obs_sum'])
+        kernel_checks = _verify_learn_kernels()
+        if any(v == 'fail' for v in kernel_checks.values()):
+            verify = 'fail'
 
     rates = []
     for r in range(args.repeats):
@@ -130,6 +206,7 @@ def main() -> None:
         'vs_baseline': round(best / REFERENCE_AGENT_STEPS_PER_SEC, 2),
         'median': round(median),
         'verify': verify,
+        **kernel_checks,
         **hbm,
     }))
 
