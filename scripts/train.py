@@ -78,6 +78,9 @@ def parse_args() -> argparse.Namespace:
                    help='append per-update metrics as JSON lines')
     p.add_argument('--mesh', action='store_true',
                    help='shard the env batch over all local devices')
+    p.add_argument('--platform', default=None, choices=['cpu', 'tpu'],
+                   help='force a jax platform (e.g. cpu when the default '
+                        'backend is a remote TPU); default: jax default')
     p.add_argument('--no-packed-obs', action='store_true',
                    help='store rollouts as (vs, vs, 3) channel triples '
                         'instead of the default bit-packed int32 cells '
@@ -86,6 +89,10 @@ def parse_args() -> argparse.Namespace:
 
 
 def train(args: argparse.Namespace) -> None:
+    if args.platform:
+        # Must land before any device is touched; the JAX_PLATFORMS env var
+        # is read at import time, which sitecustomize already spent.
+        jax.config.update('jax_platforms', args.platform)
     from multigrid_tpu.envs import make
     from multigrid_tpu.learn import (
         PPOConfig, make_train_loop, make_train_step, ppo_init)
