@@ -39,10 +39,17 @@ def parse_args() -> argparse.Namespace:
                    help='must match the flag the checkpoint was trained with')
     p.add_argument('--gif', default=None, help='output GIF path')
     p.add_argument('--tile-size', type=int, default=32)
+    p.add_argument('--platform', default=None, choices=['cpu', 'tpu'],
+                   help='force a jax platform (e.g. cpu when the default '
+                        'backend is a remote TPU); default: jax default')
     return p.parse_args()
 
 
 def visualize(args: argparse.Namespace) -> list[np.ndarray]:
+    if args.platform:
+        # Must land before any device is touched; the JAX_PLATFORMS env var
+        # is read at import time, which sitecustomize already spent.
+        jax.config.update('jax_platforms', args.platform)
     from multigrid_tpu.envs import make
     from multigrid_tpu.render import render_state
 
