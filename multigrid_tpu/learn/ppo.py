@@ -260,13 +260,57 @@ def make_train_step(
                 params, obs['image'], obs['direction'], obs.get('mission'))
         return logits, value
 
+    # Rollout sampling fully fused: one Pallas kernel from packed cells to
+    # (action, log-prob, value) — the (B, A) logits and every (B, H)
+    # activation stay in VMEM (ops/fused_policy.py). Bit-identical to the
+    # XLA path + jax.random.categorical (tests/test_fused_policy.py).
+    from ..ops.fused_policy import policy_sample
+    from ..ops.fused_policy import supports as _policy_kernel_ok
+    fully_fused = (
+        fused_rollout
+        and not config.per_agent_policies
+        and _policy_kernel_ok(
+            venv.num_envs * venv.num_agents, net.hidden, net.num_actions)
+    )
+
+    def _dir_features(direction, mission):
+        # Matches ActorCritic.__call__'s feature construction (bf16 cos/sin
+        # promoted to f32; exact 0/1 mission one-hot).
+        theta = direction.astype(net.dtype) * (jnp.pi / 2)
+        dirf = jnp.stack(
+            [jnp.cos(theta), jnp.sin(theta)], -1).astype(jnp.float32)
+        if net.num_missions and mission is not None:
+            dirf = jnp.concatenate([
+                dirf,
+                jax.nn.one_hot(mission, net.num_missions,
+                               dtype=jnp.float32)], axis=-1)
+        return dirf
+
+    def sample_policy(params, obs, k_act):
+        """(action, log_prob, value), each (E, N)."""
+        if fully_fused and (net.num_missions == 0
+                            or obs.get('mission') is not None):
+            lead = obs['direction'].shape          # (E, N)
+            g = jax.random.gumbel(
+                k_act, lead + (net.num_actions,), jnp.float32)
+            b = int(np.prod(lead))
+            c = obs['image'].shape[-1] * obs['image'].shape[-2]
+            dirf = _dir_features(obs['direction'], obs.get('mission'))
+            action, log_prob, value = policy_sample(
+                params, obs['image'].reshape(b, c),
+                dirf.reshape(b, -1), g.reshape(b, -1),
+                num_actions=net.num_actions, interpret=FUSED_INTERPRET)
+            return (action.reshape(lead), log_prob.reshape(lead),
+                    value.reshape(lead))
+        logits, value = policy(params, obs)
+        action = jax.random.categorical(k_act, logits)
+        return action, _select_log_prob(logits, action), value
+
     def rollout_phase(state: TrainState):
         def body(carry, _):
             env_state, obs, key, ep_acc, ep_sum, ep_cnt, ep_suc = carry
             key, k_act = jax.random.split(key)
-            logits, value = policy(state.params, obs)
-            action = jax.random.categorical(k_act, logits)
-            log_prob = _select_log_prob(logits, action)
+            action, log_prob, value = sample_policy(state.params, obs, k_act)
             next_obs, env_state, reward, term, trunc, done = venv.step(
                 env_state, action.astype(jnp.int32)
             )

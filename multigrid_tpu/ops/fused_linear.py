@@ -62,6 +62,71 @@ def _decode_consts(c: int):
     return shift, mask, cmp
 
 
+#: Packed-cell pad value no one-hot channel comparison matches (type 0x7FF,
+#: color/state 15) — padded cells contribute all-zero one-hot rows.
+_PAD_CELL = (0x7FF << 8) | (15 << 4) | 15
+
+
+def pad_cells(packed: jax.Array, cp: int) -> jax.Array:
+    """Pad (B, C) packed cells to a sublane tile of ``cp`` columns."""
+    b, c = packed.shape
+    if cp == c:
+        return packed
+    return jnp.concatenate(
+        [packed, jnp.full((b, cp - c), _PAD_CELL, packed.dtype)], axis=1)
+
+
+def pad_dir_features(dirf: jax.Array, fp: int) -> jax.Array:
+    """(B, F) direction(+mission) features → (B, Fp) with a constant-1 bias
+    column appended (folds the dir-dense bias into the weight block)."""
+    b, f = dirf.shape
+    return jnp.concatenate([
+        dirf.astype(jnp.float32), jnp.ones((b, 1), jnp.float32),
+        jnp.zeros((b, fp - f - 1), jnp.float32)], axis=1)
+
+
+def prep_actor_critic(pr: dict, c: int, f: int) -> dict:
+    """Pad/reorder ``ActorCritic(encoder='mlp', packed_obs=True)`` params
+    into batch-in-lanes kernel operand blocks (shared by the fused policy
+    forward and the fused PPO loss kernels).
+
+    Returns a dict with padded shapes ``cp``/``fp`` and weight blocks:
+    ``w1r`` (H, 21·Cp) channel-major first layer, ``wd`` (H, Fp) dir dense
+    with bias folded, trunk ``w1``/``b1``, and 8-row-padded heads
+    ``wa_p``/``ba_p``/``wv_p``/``bv_p``.
+    """
+    w_img = pr['img_kernel']                                   # (C·21, H)
+    w0, b0 = pr['Dense_0']['kernel'], pr['Dense_0']['bias']    # (F, H), (H,)
+    w1, b1 = pr['Dense_1']['kernel'], pr['Dense_1']['bias']    # (H, H), (H,)
+    wa, ba = pr['Dense_2']['kernel'], pr['Dense_2']['bias']    # (H, A), (A,)
+    wv, bv = pr['Dense_3']['kernel'], pr['Dense_3']['bias']    # (H, 1), (1,)
+    h = w_img.shape[1]
+    assert w_img.shape[0] == c * _NCH
+
+    cp = (c + 7) // 8 * 8
+    w3 = w_img.reshape(c, _NCH, h)
+    if cp != c:
+        w3 = jnp.concatenate(
+            [w3, jnp.zeros((cp - c, _NCH, h), w3.dtype)], axis=0)
+    w1r = w3.transpose(1, 0, 2).reshape(_NCH * cp, h).T        # (H, 21·Cp)
+
+    fp = (f + 1 + 7) // 8 * 8
+    wd = jnp.concatenate([
+        w0, b0[None, :],
+        jnp.zeros((fp - f - 1, h), w0.dtype)], axis=0).T       # (H, Fp)
+
+    wa_p = jnp.concatenate(
+        [wa, jnp.zeros((h, 8 - wa.shape[1]), wa.dtype)], axis=1)
+    ba_p = jnp.concatenate(
+        [ba, jnp.zeros((8 - ba.shape[0],), ba.dtype)])[:, None]
+    wv_p = jnp.concatenate(
+        [wv, jnp.zeros((h, 8 - wv.shape[1]), wv.dtype)], axis=1)
+    bv_p = jnp.concatenate(
+        [bv, jnp.zeros((8 - bv.shape[0],), bv.dtype)])[:, None]
+    return dict(h=h, cp=cp, fp=fp, w1r=w1r, wd=wd, w1=w1, b1=b1,
+                wa_p=wa_p, ba_p=ba_p, wv_p=wv_p, bv_p=bv_p)
+
+
 def _kernel(p_ref, w_ref, o_ref, *, c: int, compute_dtype):
     # p_ref: (C, TB) int32 packed cells; w_ref: (H, 21·C) (reordered);
     # o_ref: (H, TB) bf16. compute_dtype is bf16 on TPU (MXU); the CPU

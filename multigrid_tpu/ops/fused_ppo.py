@@ -42,7 +42,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_linear import _NCH, _decode_consts
+from .fused_linear import (
+    _NCH,
+    _decode_consts,
+    pad_cells,
+    pad_dir_features,
+    prep_actor_critic,
+)
 
 _BLOCK = 1024
 _NEG = -1e9
@@ -219,44 +225,17 @@ def ppo_mlp_grads(
     wv, bv = pr['Dense_3']['kernel'], pr['Dense_3']['bias']   # (H, 1), (1,)
 
     b, c = packed.shape
-    h = w_img.shape[1]
     f = dirf.shape[1]
-    assert w_img.shape[0] == c * _NCH
+    wp = prep_actor_critic(pr, c, f)
+    h, cp, fp = wp['h'], wp['cp'], wp['fp']
+    w1r, wd = wp['w1r'], wp['wd']
+    wa_p, ba_p, wv_p, bv_p = wp['wa_p'], wp['ba_p'], wp['wv_p'], wp['bv_p']
     block = min(_BLOCK, b)
     assert interpret or supports(b, h, num_actions), (b, h, num_actions)
     compute_dtype = jnp.float32 if interpret else jnp.bfloat16
 
-    # Pad cells to a sublane tile; pad value matches no channel comparison.
-    cp = (c + 7) // 8 * 8
-    if cp != c:
-        pad_val = (0x7FF << 8) | (15 << 4) | 15
-        packed = jnp.concatenate([
-            packed, jnp.full((b, cp - c), pad_val, packed.dtype)], axis=1)
-
-    # img kernel: feature-major (cell·21+ch, H) → channel-major (H, 21·Cp)
-    w3 = w_img.reshape(c, _NCH, h)
-    if cp != c:
-        w3 = jnp.concatenate(
-            [w3, jnp.zeros((cp - c, _NCH, h), w3.dtype)], axis=0)
-    w1r = w3.transpose(1, 0, 2).reshape(_NCH * cp, h).T
-
-    # direction dense + bias folded via a constant-1 feature row
-    fp = (f + 1 + 7) // 8 * 8
-    wd = jnp.concatenate([
-        w0, b0[None, :],
-        jnp.zeros((fp - f - 1, h), w0.dtype)], axis=0).T      # (H, Fp)
-    dirf_p = jnp.concatenate([
-        dirf.astype(jnp.float32), jnp.ones((b, 1), jnp.float32),
-        jnp.zeros((b, fp - f - 1), jnp.float32)], axis=1)
-
-    wa_p = jnp.concatenate(
-        [wa, jnp.zeros((h, 8 - wa.shape[1]), wa.dtype)], axis=1)  # (H, 8)
-    ba_p = jnp.concatenate(
-        [ba, jnp.zeros((8 - ba.shape[0],), ba.dtype)])[:, None]   # (8, 1)
-    wv_p = jnp.concatenate(
-        [wv, jnp.zeros((h, 8 - wv.shape[1]), wv.dtype)], axis=1)
-    bv_p = jnp.concatenate(
-        [bv, jnp.zeros((8 - bv.shape[0],), bv.dtype)])[:, None]
+    packed = pad_cells(packed, cp)
+    dirf_p = pad_dir_features(dirf, fp)
 
     samp = jnp.stack([
         action.astype(jnp.float32), old_logp.astype(jnp.float32),
