@@ -149,9 +149,20 @@ def train(args: argparse.Namespace) -> None:
     log_f = open(args.log_jsonl, 'a') if args.log_jsonl else None
     t_start = time.perf_counter()
     for update in range(int(state.update_count) // upc, num_updates):
+        sync = (
+            (update + 1) % args.log_interval == 0
+            or (update + 1) % args.save_interval == 0
+            or update == num_updates - 1
+        )
         with timer.phase('update'):
             state, metrics = train_step(state)
-            force_completion(metrics)
+            if sync:
+                # Host-transfer barrier ONLY at log/checkpoint points: through
+                # the remote tunnel every sync costs a ~30 ms round trip plus
+                # a device drain, which at updates_per_call=1 dominated the
+                # wall clock (measured ~30x below scripts/measure_train.py).
+                # Between syncs the async dispatch queue keeps the device fed.
+                force_completion(metrics)
         if (update + 1) % args.save_interval == 0 or update == num_updates - 1:
             path = save_checkpoint(
                 os.path.join(args.save_dir, f'step_{update + 1}'), state)
