@@ -19,6 +19,7 @@ pytree with a leading agent axis, vmapped at apply time.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable
 
 import jax
@@ -239,6 +240,7 @@ def make_train_step(
     # batch; the kernel keeps it in VMEM. The learner's forward/backward
     # (loss_fn) stays on the XLA path — same parameters, amortized once per
     # update, and differentiable.
+    from ..ops.fused_linear import prep_actor_critic
     from ..ops.fused_linear import supports_batch as _fused_ok
     fused_rollout = (
         getattr(net, 'encoder', None) == 'mlp'
@@ -264,11 +266,20 @@ def make_train_step(
     # (action, log-prob, value) — the (B, A) logits and every (B, H)
     # activation stay in VMEM (ops/fused_policy.py). Bit-identical to the
     # XLA path + jax.random.categorical (tests/test_fused_policy.py).
-    from ..ops.fused_policy import policy_sample
+    #
+    # OPT-IN (MULTIGRID_FUSED_POLICY=1), not the default: standalone the
+    # kernel beats the XLA tail 159 vs 256 µs/step at B=16384, but inside
+    # the rollout loop the XLA path's policy ops interleave with the env
+    # step's VPU/HBM work while the monolithic kernel runs as an opaque
+    # serial block — measured end-to-end it LOSES ~30-110 µs/step
+    # (18.1M → 16.1M trained agent-steps/s at the flagship config). Use it
+    # where there is no env step to interleave with (inference serving).
+    from ..ops.fused_policy import policy_sample_prepped
     from ..ops.fused_policy import supports as _policy_kernel_ok
     fully_fused = (
         fused_rollout
         and not config.per_agent_policies
+        and (FUSED_INTERPRET or os.environ.get('MULTIGRID_FUSED_POLICY'))
         and _policy_kernel_ok(
             venv.num_envs * venv.num_agents, net.hidden, net.num_actions)
     )
@@ -286,18 +297,17 @@ def make_train_step(
                                dtype=jnp.float32)], axis=-1)
         return dirf
 
-    def sample_policy(params, obs, k_act):
+    def sample_policy(params, prepped, obs, k_act):
         """(action, log_prob, value), each (E, N)."""
-        if fully_fused and (net.num_missions == 0
-                            or obs.get('mission') is not None):
+        if prepped is not None:
             lead = obs['direction'].shape          # (E, N)
             g = jax.random.gumbel(
                 k_act, lead + (net.num_actions,), jnp.float32)
             b = int(np.prod(lead))
             c = obs['image'].shape[-1] * obs['image'].shape[-2]
             dirf = _dir_features(obs['direction'], obs.get('mission'))
-            action, log_prob, value = policy_sample(
-                params, obs['image'].reshape(b, c),
+            action, log_prob, value = policy_sample_prepped(
+                prepped, obs['image'].reshape(b, c),
                 dirf.reshape(b, -1), g.reshape(b, -1),
                 num_actions=net.num_actions, interpret=FUSED_INTERPRET)
             return (action.reshape(lead), log_prob.reshape(lead),
@@ -307,10 +317,23 @@ def make_train_step(
         return action, _select_log_prob(logits, action), value
 
     def rollout_phase(state: TrainState):
+        # Pad/reorder the kernel's weight blocks ONCE per rollout (params
+        # are scan-invariant; XLA's loop-invariant code motion does not
+        # reliably hoist the prep — measured ~30 µs/step at B=16384).
+        prepped = None
+        if fully_fused and (net.num_missions == 0
+                            or state.last_obs.get('mission') is not None):
+            im = state.last_obs['image']
+            f = 2 + (net.num_missions
+                     if state.last_obs.get('mission') is not None else 0)
+            prepped = prep_actor_critic(
+                state.params['params'], im.shape[-1] * im.shape[-2], f)
+
         def body(carry, _):
             env_state, obs, key, ep_acc, ep_sum, ep_cnt, ep_suc = carry
             key, k_act = jax.random.split(key)
-            action, log_prob, value = sample_policy(state.params, obs, k_act)
+            action, log_prob, value = sample_policy(
+                state.params, prepped, obs, k_act)
             next_obs, env_state, reward, term, trunc, done = venv.step(
                 env_state, action.astype(jnp.int32)
             )

@@ -129,11 +129,33 @@ def policy_sample(
     identical to applying ``ActorCritic`` then
     ``jax.random.categorical`` with the gumbel noise's key.
     """
-    pr = params['params']
+    w = prep_actor_critic(params['params'], packed.shape[1], dirf.shape[1])
+    return policy_sample_prepped(
+        w, packed, dirf, gumbel, num_actions=num_actions,
+        interpret=interpret)
+
+
+@functools.partial(
+    jax.jit, static_argnames=('num_actions', 'interpret'))
+def policy_sample_prepped(
+    w: dict,
+    packed: jax.Array,
+    dirf: jax.Array,
+    gumbel: jax.Array,
+    *,
+    num_actions: int = 7,
+    interpret: bool = False,
+):
+    """:func:`policy_sample` with the weight blocks already prepared by
+    :func:`fused_linear.prep_actor_critic` — lets a rollout scan hoist the
+    pad/reorder work out of the loop (params are scan-invariant but XLA's
+    loop-invariant code motion does not hoist it reliably; measured
+    ~30 µs/step at B=16384)."""
     b, c = packed.shape
-    f = dirf.shape[1]
-    w = prep_actor_critic(pr, c, f)
-    h, cp, fp = w['h'], w['cp'], w['fp']
+    # Static dims from operand shapes (the dict's int entries would be
+    # traced when this function is jitted with ``w`` as an argument).
+    h, cp = w['w1r'].shape[0], w['w1r'].shape[1] // _NCH
+    fp = w['wd'].shape[1]
     block = min(_BLOCK, b)
     assert interpret or supports(b, h, num_actions), (b, h, num_actions)
     compute_dtype = jnp.float32 if interpret else jnp.bfloat16
