@@ -12,9 +12,10 @@ Layout: **batch in lanes, features in sublanes** (the obs kernel's
 convention). The one-hot matrix is built channel-major — row r = ch·C + cell
 — so replicating each cell's packed value across its 21 channel rows is a
 plain sublane concatenation (no in-kernel gathers, which Mosaic lacks), and
-the per-row (shift, mask, cmp) decode constants come from a sublane iota:
+the per-row pre-shifted (mask, cmp) decode constants come from a sublane
+iota:
 
-    M[ch·C + cell, b] = ((packed[cell, b] >> shift(ch)) & mask(ch)) == cmp(ch)
+    M[ch·C + cell, b] = (packed[cell, b] & mask(ch)) == cmp(ch)
 
 The weights arrive pre-transposed/reordered to (H, 21·C) so the kernel is a
 single MXU dot per block: out = W_r @ M → (H, block) f32 → bf16.
@@ -49,17 +50,21 @@ def supports_batch(b: int) -> bool:
 
 
 def _decode_consts(c: int):
-    """(shift, mask, cmp) per one-hot row r = ch·C + cell, as (21·C, 1)
+    """(mask, cmp) per one-hot row r = ch·C + cell, as (21·C, 1)
     iota-derived int32 columns (Pallas kernels cannot capture array
-    constants)."""
+    constants). Row r matches iff ``(p & mask) == cmp`` — the field
+    comparison uses PRE-SHIFTED masks/values so the kernels' hot
+    elementwise chain is and→cmp→select (3 ops/element, not 4 with a
+    shift; the chain is the VPU-bound core of every one-hot kernel)."""
     rows = _NCH * c
     r = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
     ch = r // c
     e0, e1 = _WIDTHS[0], _WIDTHS[0] + _WIDTHS[1]
+    # field bit ranges: type = bits 8.., color = bits 4-7, state = bits 0-3
+    mask = jnp.where(ch < e0, -256, jnp.where(ch < e1, 15 << 4, 15))
+    val = ch - jnp.where(ch < e0, 0, jnp.where(ch < e1, e0, e1))
     shift = jnp.where(ch < e0, 8, jnp.where(ch < e1, 4, 0))
-    mask = jnp.where(ch < e0, -1, 15)
-    cmp = ch - jnp.where(ch < e0, 0, jnp.where(ch < e1, e0, e1))
-    return shift, mask, cmp
+    return mask, val << shift
 
 
 #: Packed-cell pad value no one-hot channel comparison matches (type 0x7FF,
@@ -133,8 +138,8 @@ def _kernel(p_ref, w_ref, o_ref, *, c: int, compute_dtype):
     # interpreter cannot execute bf16 dots, so tests run f32.
     p = p_ref[:, :]
     rep = jnp.concatenate([p] * _NCH)           # (21·C, TB), row r=ch·C+cell
-    shift, mask, cmp = _decode_consts(c)
-    m = (((rep >> shift) & mask) == cmp).astype(compute_dtype)
+    mask, cmp = _decode_consts(c)
+    m = ((rep & mask) == cmp).astype(compute_dtype)
     out = jnp.dot(
         w_ref[:, :].astype(compute_dtype), m,
         preferred_element_type=jnp.float32)
@@ -217,8 +222,8 @@ def _grad_kernel(p_ref, g_ref, o_ref, *, c: int, compute_dtype):
     i = pl.program_id(0)
     p = p_ref[:, :]
     rep = jnp.concatenate([p] * _NCH)
-    shift, mask, cmp = _decode_consts(c)
-    m = (((rep >> shift) & mask) == cmp).astype(compute_dtype)
+    mask, cmp = _decode_consts(c)
+    m = ((rep & mask) == cmp).astype(compute_dtype)
     dw = jnp.dot(m, g_ref[:, :].astype(compute_dtype),
                  preferred_element_type=jnp.float32)
 

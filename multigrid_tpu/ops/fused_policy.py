@@ -70,8 +70,8 @@ def _kernel(
 
     p = p_ref[:, :]
     rep = jnp.concatenate([p] * _NCH)                    # (21·C, TB)
-    shift, mask, cmp = _decode_consts(c)
-    m = (((rep >> shift) & mask) == cmp).astype(compute_dtype)
+    mask, cmp = _decode_consts(c)
+    m = ((rep & mask) == cmp).astype(compute_dtype)
 
     dirf = d_ref[:, :].astype(compute_dtype)             # (Fp, TB)
     h = jnp.dot(w1r_ref[:, :].astype(compute_dtype), m,
