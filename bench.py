@@ -48,7 +48,7 @@ def _verify_learn_kernels() -> dict:
         w = jax.random.normal(ks[3], (c * _NCH, hdim), jnp.float32)
         got = np.asarray(onehot_linear_packed(packed, w), np.float32)
         feats = one_hot_image(
-            packed.reshape(b, 7, 7), dtype=jnp.bfloat16, packed=True)
+            packed, dtype=jnp.bfloat16, packed=True)
         want = np.asarray(
             feats.reshape(b, c * _NCH) @ w.astype(jnp.bfloat16), np.float32)
         err = np.max(np.abs(got - want) / (np.abs(want) + 1.0))
@@ -56,7 +56,7 @@ def _verify_learn_kernels() -> dict:
 
         net = ActorCritic(encoder='mlp', packed_obs=True, dtype=jnp.float32)
         params = net.init(
-            ks[4], packed[0].reshape(7, 7), jnp.zeros((), jnp.int32))
+            ks[4], packed[0], jnp.zeros((), jnp.int32))
         theta = jax.random.randint(
             ks[5], (b,), 0, 4).astype(jnp.float32) * (jnp.pi / 2)
         dirf = jnp.stack([jnp.cos(theta), jnp.sin(theta)], -1)
@@ -67,7 +67,7 @@ def _verify_learn_kernels() -> dict:
         target = jnp.zeros((b,))
 
         def xla_loss(p):
-            logits, value = net.apply(p, packed.reshape(b, 7, 7),
+            logits, value = net.apply(p, packed,
                                       theta / (jnp.pi / 2))
             lp_all = jax.nn.log_softmax(logits)
             lp = jnp.sum(lp_all * jax.nn.one_hot(action, 7), -1)

@@ -25,11 +25,14 @@ def one_hot_image(
 ) -> jax.Array:
     """Observation image → one-hot feature planes.
 
-    ``packed=False``: (..., vs, vs, 3) int channel triples.
-    ``packed=True``: (..., vs, vs) bit-packed int32 cells
+    ``packed=False``: (..., vs, vs, 3) int channel triples →
+    (..., vs, vs, 21) planes.
+    ``packed=True``: (..., vs·vs) bit-packed int32 cells
     (``type<<8 | color<<4 | state``, the obs kernel's native encoding —
-    storing rollouts packed carries 1/3 the HBM traffic of the triples).
-    Both produce identical (..., vs, vs, 21) planes.
+    storing rollouts packed carries 1/3 the HBM traffic of the triples,
+    and the flat cell axis avoids the (8, 128) minor-tile padding of a
+    trailing (vs, vs)) → (..., vs·vs, 21) planes, same cell-major
+    feature order once flattened.
 
     The construction is ONE fused elementwise comparison against per-channel
     (shift, mask, value) constants — building three per-field one-hots and
@@ -115,6 +118,11 @@ class ActorCritic(nn.Module):
         # the reference does at scripts/train.py:56-63, is mathematically a
         # per-position bias — W·[x; d] == W_x·x + W_d·d).
         if self.encoder == 'cnn':
+            if self.packed_obs:
+                # Restore the (vs, vs) spatial view the convs need; packed
+                # images carry a flat cell axis.
+                vs = int(round(image.shape[-1] ** 0.5))
+                image = image.reshape(image.shape[:-1] + (vs, vs))
             x = one_hot_image(image, self.dtype, packed=self.packed_obs)
             h = nn.Conv(16, (3, 3), padding='VALID', dtype=self.dtype)(x)
             d = nn.Dense(16, use_bias=False, dtype=self.dtype)(dir_feats)
@@ -125,7 +133,7 @@ class ActorCritic(nn.Module):
             x = x.reshape(x.shape[:-3] + (-1,))
         else:
             if self.packed_obs:
-                c = image.shape[-1] * image.shape[-2]
+                c = image.shape[-1]
             else:
                 c = image.shape[-2] * image.shape[-3]
             from ..ops.fused_linear import _NCH
@@ -137,10 +145,14 @@ class ActorCritic(nn.Module):
                 from ..ops.fused_linear import onehot_linear
                 flat = image.reshape((-1, c))
                 h = onehot_linear(flat, w, fused == 'interpret')
-                h = h.reshape(image.shape[:-2] + (self.hidden,))
+                h = h.reshape(image.shape[:-1] + (self.hidden,))
             else:
                 x = one_hot_image(image, self.dtype, packed=self.packed_obs)
-                h = x.reshape(x.shape[:-3] + (-1,)) @ w.astype(self.dtype)
+                # Packed images carry (…, vs², 21) planes (flat cell axis),
+                # triples (…, vs, vs, 21); either way features flatten
+                # cell-major.
+                lead = 2 if self.packed_obs else 3
+                h = x.reshape(x.shape[:-lead] + (-1,)) @ w.astype(self.dtype)
             d = nn.Dense(self.hidden, dtype=self.dtype)(dir_feats)
             x = nn.relu(h + d)
         # The wide dense layer is the natural tensor-parallel shard point;

@@ -304,7 +304,7 @@ def make_train_step(
             g = jax.random.gumbel(
                 k_act, lead + (net.num_actions,), jnp.float32)
             b = int(np.prod(lead))
-            c = obs['image'].shape[-1] * obs['image'].shape[-2]
+            c = obs['image'].shape[-1]
             dirf = _dir_features(obs['direction'], obs.get('mission'))
             action, log_prob, value = policy_sample_prepped(
                 prepped, obs['image'].reshape(b, c),
@@ -327,7 +327,7 @@ def make_train_step(
             f = 2 + (net.num_missions
                      if state.last_obs.get('mission') is not None else 0)
             prepped = prep_actor_critic(
-                state.params['params'], im.shape[-1] * im.shape[-2], f)
+                state.params['params'], im.shape[-1], f)
 
         def body(carry, _):
             env_state, obs, key, ep_acc, ep_sum, ep_cnt, ep_suc = carry
@@ -388,6 +388,10 @@ def make_train_step(
             (jnp.zeros_like(last_value), last_value),
             (traj.value, traj.reward, traj.done),
             reverse=True,
+            # The body is a handful of elementwise ops on (E, N) slices;
+            # a device loop pays a fixed per-iteration cost that dwarfs the
+            # math (measured 0.148 → 0.061 ms/update unrolled at T=16).
+            unroll=True,
         )
         return advantages, advantages + traj.value
 
@@ -446,14 +450,21 @@ def make_train_step(
             # The whole loss forward+backward as ONE Pallas kernel
             # (ops/fused_ppo.py): every (B, hidden) activation/residual
             # stays in VMEM; HBM sees only the packed cells and the
-            # block-accumulated weight gradients. The env axis is moved in
-            # front of time before flattening so each device's sample block
-            # stays contiguous (the reshape is shard-local on a mesh).
-            def flat(x):
-                return jnp.swapaxes(x, 0, 1).reshape((b,) + x.shape[3:])
+            # block-accumulated weight gradients. Sample order within the
+            # whole batch is irrelevant to a full-batch gradient, so on a
+            # single chip the flatten is a FREE row-major reshape; only on
+            # a mesh is the env axis moved in front of time first, so the
+            # merged axis keeps the 'env' sharding expressible (a (T·E)
+            # merge with E sharded inner forces an all-gather).
+            if venv.mesh is None:
+                def flat(x):
+                    return x.reshape((b,) + x.shape[3:])
+            else:
+                def flat(x):
+                    return jnp.swapaxes(x, 0, 1).reshape((b,) + x.shape[3:])
 
-            c = traj.image.shape[-1] * traj.image.shape[-2]
-            packed = flat(traj.image).reshape(b, c)
+            c = traj.image.shape[-1]
+            packed = flat(traj.image)
             theta = flat(traj.direction).astype(net.dtype) * (jnp.pi / 2)
             dirf = jnp.stack(
                 [jnp.cos(theta), jnp.sin(theta)], -1).astype(jnp.float32)
@@ -563,6 +574,12 @@ def make_train_step(
         )
         return state, metrics
 
+    # Phase handles for profiling/ablation harnesses (scripts/measure_train.py
+    # times each stage in situ through these; they are the very closures
+    # train_step composes, so a stage probe measures the production code).
+    train_step.rollout_phase = rollout_phase
+    train_step.compute_gae = compute_gae
+    train_step.sgd_step = sgd_step
     return train_step
 
 

@@ -339,9 +339,10 @@ def gen_obs_batched_pallas(
     kernel block; callers fall back to the XLA path otherwise).
     Returns ``(E, N, vs, vs, 3)`` int32, bit-identical to
     ``vmap(gen_obs_grid_encoding)`` — or, with ``packed=True``, the kernel's
-    native ``(E, N, vs, vs)`` bit-packed cells (``type<<8|color<<4|state``),
-    skipping the unpack epilogue (1/3 the output traffic; the training path
-    one-hots directly from the packed fields, learn/nets.py)."""
+    native ``(E, N, vs·vs)`` bit-packed cells (``type<<8|color<<4|state``,
+    row-major cell order), skipping the unpack epilogue (1/3 the output
+    traffic; the training path one-hots directly from the packed fields,
+    learn/nets.py)."""
     vs = view_size
     e, w, h, _ = state.grid.shape
     n = state.agent_dir.shape[-1]
@@ -420,7 +421,13 @@ def gen_obs_batched_pallas(
 
     # ---- XLA epilogue: back to env-major images (unpack unless packed). ----
     if packed:
-        return out.T.reshape(e, n, vs, vs)
+        # Flat cell axis, NOT (vs, vs): a trailing (7, 7) puts both minor
+        # dims under the (8, 128) physical tile → ~18x padded HBM footprint,
+        # measured 19 GB/s effective touching a (T, E, N, 7, 7) rollout
+        # buffer vs 153+ GB/s for the same data with one flat minor axis.
+        # Everything downstream (one-hot decode, fused kernels) is
+        # cell-order-agnostic, so the training path never pays the tile tax.
+        return out.T.reshape(e, n, v2)
     img = jnp.stack([out >> 8, (out >> 4) & 15, out & 15], axis=-1)
     img = img.transpose(1, 0, 2)                   # (E, N*vs², 3)
     return img.reshape(e, n, vs, vs, 3)

@@ -351,13 +351,16 @@ class VectorEnv:
 
     def _pack_obs(self, obs):
         """Pack (…, vs, vs, 3) channel triples into the kernel's int32 cell
-        format (bit-identical to the Pallas ``packed=True`` output)."""
+        format, flattened to a (…, vs·vs) cell axis (bit-identical to the
+        Pallas ``packed=True`` output; flat so rollout buffers avoid the
+        (8, 128) tile padding a trailing (vs, vs) would incur)."""
         img = obs['image']
         packed = (
             (img[..., 0].astype(jnp.int32) << 8)
             | (img[..., 1].astype(jnp.int32) << 4)
             | img[..., 2].astype(jnp.int32)
         )
+        packed = packed.reshape(packed.shape[:-2] + (-1,))
         return {**obs, 'image': packed}
 
     @functools.partial(jax.jit, static_argnums=0)

@@ -35,9 +35,11 @@ def main():
     p.add_argument('--epochs', type=int, default=1)
     p.add_argument('--no-packed-obs', action='store_true')
     p.add_argument('--mode', default='full',
-                   choices=['full', 'policy-nostore', 'store-nopolicy'],
+                   choices=['full', 'policy-nostore', 'store-nopolicy',
+                            'rollout'],
                    help='isolation modes: rollout with policy but no '
-                        'trajectory storage / random actions with storage')
+                        'trajectory storage / random actions with storage / '
+                        'policy AND full trajectory storage, no learner')
     args = p.parse_args()
 
     from multigrid_tpu.envs import make
@@ -70,12 +72,27 @@ def main():
                         jnp.int32)
                     acc = acc + value.sum()
                     ys = None
+                elif args.mode == 'rollout':
+                    # The real rollout_phase payload: policy forward,
+                    # sampled action + its log-prob, and the full Rollout
+                    # tuple stacked across T (what the learner consumes).
+                    logits, value = net.apply(
+                        state.params, obs['image'], obs['direction'],
+                        obs.get('mission'), fused=fused)
+                    action = jax.random.categorical(k, logits).astype(
+                        jnp.int32)
+                    from multigrid_tpu.learn.ppo import _select_log_prob
+                    logp = _select_log_prob(logits, action)
+                    ys = (obs['image'], obs['direction'], action, logp,
+                          value)
                 else:
                     action = jax.random.randint(
                         k, (venv.num_envs, venv.num_agents), 0, 7, jnp.int32)
                     ys = (obs['image'], obs['direction'], action)
                 obs2, env_state, reward, term, trunc, done = venv.step(
                     env_state, action)
+                if args.mode == 'rollout':
+                    ys = ys + (reward, done[:, None] | term)
                 return (env_state, obs2, key, acc + reward.sum()), ys
 
             (env_state, obs, key, acc), ys = jax.lax.scan(

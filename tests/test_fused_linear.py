@@ -23,7 +23,7 @@ def test_kernel_matches_xla_expression():
     w = jax.random.normal(jax.random.key(1), (c * _NCH, h), jnp.float32)
     got = onehot_linear_packed(packed, w, interpret=True)
     feats = one_hot_image(
-        packed.reshape(b, 7, 7), dtype=jnp.bfloat16, packed=True)
+        packed, dtype=jnp.bfloat16, packed=True)
     want = feats.reshape(b, c * _NCH) @ w.astype(jnp.bfloat16)
     # Same math, same bf16 operands, f32 accumulation on both paths.
     np.testing.assert_allclose(
@@ -33,7 +33,7 @@ def test_kernel_matches_xla_expression():
 
 def test_actorcritic_fused_apply_matches_unfused():
     net = ActorCritic(encoder='mlp', packed_obs=True)
-    packed = _random_packed(jax.random.key(2), 8, 49).reshape(4, 2, 7, 7)
+    packed = _random_packed(jax.random.key(2), 8, 49).reshape(4, 2, 49)
     direction = jax.random.randint(jax.random.key(3), (4, 2), 0, 4)
     params = net.init(jax.random.key(4), packed[0, 0], direction[0, 0])
     lo_ref, v_ref = net.apply(params, packed, direction)
@@ -70,7 +70,7 @@ def test_custom_vjp_grad_matches_xla():
 
     def loss_xla(w):
         feats = one_hot_image(
-            packed.reshape(b, 7, 7), dtype=jnp.bfloat16, packed=True)
+            packed, dtype=jnp.bfloat16, packed=True)
         hh = feats.reshape(b, c * _NCH) @ w.astype(jnp.bfloat16)
         return jnp.sum(hh.astype(jnp.float32) * g_tgt)
 

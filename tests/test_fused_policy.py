@@ -33,7 +33,7 @@ def _setup(num_missions=0, b=128, vs=5):
     direction = jax.random.randint(jax.random.key(1), (b,), 0, 4)
     mission = (jax.random.randint(jax.random.key(2), (b,), 0, num_missions)
                if num_missions else None)
-    params = net.init(jax.random.key(3), packed[:1].reshape(1, vs, vs),
+    params = net.init(jax.random.key(3), packed[:1],
                       direction[:1], mission[:1] if num_missions else None)
     return net, params, packed, direction, mission, c
 
@@ -53,7 +53,7 @@ def test_policy_sample_matches_xla_categorical():
     net, params, packed, direction, mission, c = _setup()
     b, vs = packed.shape[0], 5
     logits, value = net.apply(
-        params, packed.reshape(b, vs, vs), direction, mission)
+        params, packed, direction, mission)
     key = jax.random.key(7)
     want_action = jax.random.categorical(key, logits)
     g = jax.random.gumbel(key, logits.shape, jnp.float32)
@@ -76,7 +76,7 @@ def test_policy_sample_mission_conditioning():
     net, params, packed, direction, mission, c = _setup(num_missions=12)
     b, vs = packed.shape[0], 5
     logits, value = net.apply(
-        params, packed.reshape(b, vs, vs), direction, mission)
+        params, packed, direction, mission)
     key = jax.random.key(11)
     g = jax.random.gumbel(key, logits.shape, jnp.float32)
     action, _, val = policy_sample(

@@ -26,7 +26,7 @@ def _ref_loss(params, packed, dirf, action, old_logp, adv, target,
     pr = params['params']
     b, c = packed.shape
     feats = one_hot_image(
-        packed.reshape(b, 7, 7), dtype=jnp.float32, packed=True
+        packed, dtype=jnp.float32, packed=True
     ).reshape(b, c * _NCH)
     h = feats @ pr['img_kernel']
     d = dirf @ pr['Dense_0']['kernel'] + pr['Dense_0']['bias']
@@ -58,7 +58,7 @@ def test_grads_match_autodiff(num_missions):
                       num_missions=num_missions, dtype=jnp.float32)
     mission0 = jnp.zeros((), jnp.int32) if num_missions else None
     params = net.init(
-        ks[1], packed[0].reshape(7, 7), jnp.zeros((), jnp.int32), mission0)
+        ks[1], packed[0], jnp.zeros((), jnp.int32), mission0)
     params = jax.tree.map(lambda x: x.astype(jnp.float32), params)
 
     theta = jax.random.randint(ks[2], (b,), 0, 4).astype(jnp.float32)

@@ -40,6 +40,7 @@ def test_pallas_matches_xla(env_id, agents, stw):
     packed = gen_obs_batched_pallas(
         state, vs, stw, interpret=True, packed=True)
     repack = (ref[..., 0] << 8) | (ref[..., 1] << 4) | ref[..., 2]
+    repack = repack.reshape(repack.shape[:-2] + (-1,))  # flat cell axis
     np.testing.assert_array_equal(np.asarray(packed), np.asarray(repack))
 
 

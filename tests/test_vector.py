@@ -199,6 +199,7 @@ def test_packed_obs_equivalence():
         (obs_p['image'][..., 0].astype(jnp.int32) << 8)
         | (obs_p['image'][..., 1].astype(jnp.int32) << 4)
         | obs_p['image'][..., 2].astype(jnp.int32))
+    repack = repack.reshape(repack.shape[:-2] + (-1,))  # flat cell axis
     np.testing.assert_array_equal(np.asarray(obs_k['image']),
                                   np.asarray(repack))
     for t in range(5):
@@ -209,6 +210,7 @@ def test_packed_obs_equivalence():
             (obs_p['image'][..., 0].astype(jnp.int32) << 8)
             | (obs_p['image'][..., 1].astype(jnp.int32) << 4)
             | obs_p['image'][..., 2].astype(jnp.int32))
+        repack = repack.reshape(repack.shape[:-2] + (-1,))
         np.testing.assert_array_equal(np.asarray(obs_k['image']),
                                       np.asarray(repack))
 
@@ -216,7 +218,10 @@ def test_packed_obs_equivalence():
     from multigrid_tpu.learn.nets import one_hot_image
     a = one_hot_image(obs_p['image'], dtype=jnp.float32)
     b = one_hot_image(obs_k['image'], dtype=jnp.float32, packed=True)
-    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # triples give (..., vs, vs, 21), packed (..., vs*vs, 21): same features
+    # in the same cell-major order, different view.
+    np.testing.assert_array_equal(
+        np.asarray(a).reshape(np.asarray(b).shape), np.asarray(b))
 
     # Wrapped envs must refuse the packed format.
     from multigrid_tpu.wrappers import OneHotObsWrapper
