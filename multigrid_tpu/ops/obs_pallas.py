@@ -68,11 +68,28 @@ _VMEM_REF = 1320 * 512
 def pick_block(w: int, h: int, vs: int) -> int:
     """Lane-block width for a given grid: largest power-of-two ≤ 512 whose
     padded-plane working set stays inside scoped VMEM."""
-    sublanes = (w + 2 * vs) * _row_stride(h, vs)
+    sublanes = _plane_rows(w, vs) * _row_stride(h, vs)
     block = _MAX_BLOCK
     while block > 128 and sublanes * block > _VMEM_REF:
         block //= 2
     return block
+
+
+def _nbits(extent: int, vs: int) -> int:
+    """Bits needed for a crop shift: the padded window origin is
+    ``top + vs ∈ [1, extent - 1 + vs]`` (get_view_exts caps ``top`` at
+    ``extent - 1``)."""
+    return max(1, (extent - 1 + vs).bit_length())
+
+
+def _plane_rows(w: int, vs: int) -> int:
+    """Stride-rows in the padded plane: ``wp = w + 2*vs`` plus trailing wall
+    rows so the x-chain's top-bit slice ``v[2^k : 2^k + keep]`` stays in
+    bounds (lower passes exactly fit — see crop_chain)."""
+    wp = w + 2 * vs
+    top = _nbits(w, vs) - 1
+    keep_top = min(wp, (1 << top) - 1 + vs)
+    return max(wp, (1 << top) + keep_top)
 
 
 _WALL_PACKED = (
@@ -134,8 +151,8 @@ def _obs_kernel(
 ):
     n = num_agents
     stride = (hp + 7) // 8 * 8
-    nbits_x = max(1, (wp - 1).bit_length())
-    nbits_y = max(1, (hp - 1).bit_length())
+    nbits_x = _nbits(wp - 2 * vs, vs)
+    nbits_y = _nbits(hp - 2 * vs, vs)
     v2 = vs * vs
     mid = (vs // 2) * vs + (vs - 1)  # flat index of the agent's own view cell
 
@@ -143,22 +160,22 @@ def _obs_kernel(
         """(1, B) bool — bit k of a (B,) int32 lane vector."""
         return (((row >> k) & 1) != 0).reshape(1, -1)
 
-    def pshift(v, shift_rows, bit):
-        """Predicated cyclic up-shift by ``shift_rows`` sublanes."""
-        rolled = pltpu.roll(v, v.shape[0] - shift_rows, axis=0)
-        return jnp.where(bit, rolled, v)
-
-    # --- crop: one roll chain per agent on the packed plane -----------------
+    # --- crop: one slice-select chain per agent on the packed plane ---------
     def crop_chain(a):
         sx = meta_ref[a, :]
         v = g_ref[:, :]
-        # x-chain: shift so row sx*stride lands at 0; high bit first,
-        # shrinking the working slab each pass (remaining shift < 2^k).
-        # Shifts are whole sublane tiles (stride % 8 == 0): register moves.
+        # x-chain: shift so row sx*stride lands at 0; high bit first. All
+        # offsets are whole stride-rows (stride % 8 == 0 → tile-aligned), so
+        # instead of a cyclic roll + select over the FULL slab, each pass is
+        # one select of two static slices writing only the SHRUNK slab
+        # (remaining shift < 2^k ⇒ keep = 2^k - 1 + vs rows suffice). The
+        # top pass's high slice reaches past wp into the plane's trailing
+        # wall pad (_plane_rows); every lower pass exactly fits:
+        # off + keep = 2^k + (2^k - 1 + vs) = previous keep.
         for k in reversed(range(nbits_x)):
-            v = pshift(v, (1 << k) * stride, lane_bits(sx, k))
             keep = min(v.shape[0] // stride, (1 << k) - 1 + vs) * stride
-            v = v[:keep]
+            off = (1 << k) * stride
+            v = jnp.where(lane_bits(sx, k), v[off:off + keep], v[:keep])
         return v[:vs * stride]
 
     slabs = [crop_chain(a) for a in range(n)]
@@ -319,6 +336,11 @@ def _pad_packed(plane_t: jax.Array, w: int, h: int, vs: int) -> jax.Array:
         pieces.append(plane_t[x * h:(x + 1) * h])
         pieces.append(pad_post)
     pieces.append(wallrow)
+    tail = _plane_rows(w, vs) - (w + 2 * vs)
+    if tail:
+        # Trailing wall rows keep the kernel's top-bit x-slice in bounds.
+        pieces.append(jnp.full(
+            (tail * stride, e), _WALL_PACKED, dtype=plane_t.dtype))
     return jnp.concatenate(pieces)
 
 
@@ -401,7 +423,8 @@ def gen_obs_batched_pallas(
         in_specs=[
             pl.BlockSpec((4 * n, block), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((wp * stride, block), lambda i: (0, i),
+            pl.BlockSpec((_plane_rows(w, vs) * stride, block),
+                         lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((n * v2, block), lambda i: (0, i),
