@@ -10,12 +10,10 @@ activations out (B·H·2 bytes).
 
 Layout: **batch in lanes, features in sublanes** (the obs kernel's
 convention). The one-hot matrix is built channel-major — row r = ch·C + cell
-— so replicating each cell's packed value across its 21 channel rows is a
-plain sublane concatenation (no in-kernel gathers, which Mosaic lacks), and
-the per-row pre-shifted (mask, cmp) decode constants come from a sublane
-iota:
+— built as 21 scalar compares of the pre-split bit fields concatenated
+along sublanes (no in-kernel gathers, which Mosaic lacks):
 
-    M[ch·C + cell, b] = (packed[cell, b] & mask(ch)) == cmp(ch)
+    M[ch·C + cell, b] = (field(ch)(packed[cell, b]) == channel_value(ch))
 
 The weights arrive pre-transposed/reordered to (H, 21·C) so the kernel is a
 single MXU dot per block: out = W_r @ M → (H, block) f32 → bf16.
@@ -41,7 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 _WIDTHS = (11, 6, 4)
 _NCH = sum(_WIDTHS)
 
-_BLOCK = 1024  # lanes per kernel invocation (~8 MB VMEM working set)
+_BLOCK = 2048  # lanes per kernel invocation (~16 MB VMEM working set)
 
 
 def supports_batch(b: int) -> bool:
@@ -49,27 +47,27 @@ def supports_batch(b: int) -> bool:
     return b % 128 == 0 and b % block == 0
 
 
-def _decode_consts(c: int):
-    """(mask, cmp) per one-hot row r = ch·C + cell, as (21·C, 1)
-    iota-derived int32 columns (Pallas kernels cannot capture array
-    constants). Row r matches iff ``(p & mask) == cmp`` — the field
-    comparison uses PRE-SHIFTED masks/values so the kernels' hot
-    elementwise chain is and→cmp→select (3 ops/element, not 4 with a
-    shift; the chain is the VPU-bound core of every one-hot kernel)."""
-    rows = _NCH * c
-    r = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
-    ch = r // c
-    e0, e1 = _WIDTHS[0], _WIDTHS[0] + _WIDTHS[1]
-    # field bit ranges: type = bits 8.., color = bits 4-7, state = bits 0-3
-    mask = jnp.where(ch < e0, -256, jnp.where(ch < e1, 15 << 4, 15))
-    val = ch - jnp.where(ch < e0, 0, jnp.where(ch < e1, e0, e1))
-    shift = jnp.where(ch < e0, 8, jnp.where(ch < e1, 4, 0))
-    return mask, val << shift
-
-
 #: Packed-cell pad value no one-hot channel comparison matches (type 0x7FF,
 #: color/state 15) — padded cells contribute all-zero one-hot rows.
 _PAD_CELL = (0x7FF << 8) | (15 << 4) | 15
+
+
+def _onehot_m(p, dtype):
+    """Channel-major one-hot feature matrix from a (C, TB) packed block:
+    row r = ch·C + cell. Splits the three fields once (3 cheap ops on the
+    small block) and emits each channel slab as a direct scalar compare —
+    2 VPU ops/output element and no (21·C, TB) int32 replica, vs 3 ops +
+    the replica for the masked-compare form (measured perf-neutral on the
+    fused PPO kernel — Mosaic was already folding the masked form — but
+    strictly less VMEM and simpler)."""
+    t = p >> 8
+    col = (p >> 4) & 15
+    st = p & 15
+    return jnp.concatenate(
+        [(t == ch).astype(dtype) for ch in range(_WIDTHS[0])]
+        + [(col == ch).astype(dtype) for ch in range(_WIDTHS[1])]
+        + [(st == ch).astype(dtype) for ch in range(_WIDTHS[2])]
+    )
 
 
 def pad_cells(packed: jax.Array, cp: int) -> jax.Array:
@@ -132,14 +130,11 @@ def prep_actor_critic(pr: dict, c: int, f: int) -> dict:
                 wa_p=wa_p, ba_p=ba_p, wv_p=wv_p, bv_p=bv_p)
 
 
-def _kernel(p_ref, w_ref, o_ref, *, c: int, compute_dtype):
+def _kernel(p_ref, w_ref, o_ref, *, compute_dtype):
     # p_ref: (C, TB) int32 packed cells; w_ref: (H, 21·C) (reordered);
     # o_ref: (H, TB) bf16. compute_dtype is bf16 on TPU (MXU); the CPU
     # interpreter cannot execute bf16 dots, so tests run f32.
-    p = p_ref[:, :]
-    rep = jnp.concatenate([p] * _NCH)           # (21·C, TB), row r=ch·C+cell
-    mask, cmp = _decode_consts(c)
-    m = ((rep & mask) == cmp).astype(compute_dtype)
+    m = _onehot_m(p_ref[:, :], compute_dtype)   # (21·C, TB), row r=ch·C+cell
     out = jnp.dot(
         w_ref[:, :].astype(compute_dtype), m,
         preferred_element_type=jnp.float32)
@@ -206,7 +201,7 @@ def onehot_linear_packed(
     )
     out = pl.pallas_call(
         functools.partial(
-            _kernel, c=c,
+            _kernel,
             compute_dtype=jnp.float32 if interpret else jnp.bfloat16),
         out_shape=jax.ShapeDtypeStruct((h, b), jnp.bfloat16),
         grid_spec=grid_spec,
@@ -215,15 +210,12 @@ def onehot_linear_packed(
     return out.T
 
 
-def _grad_kernel(p_ref, g_ref, o_ref, *, c: int, compute_dtype):
+def _grad_kernel(p_ref, g_ref, o_ref, *, compute_dtype):
     # p_ref: (C, TB) packed cells; g_ref: (TB, H) upstream cotangent;
     # o_ref: (21·C, H) f32 — accumulated across grid steps (same block
     # every step: zero-init on the first, add after).
     i = pl.program_id(0)
-    p = p_ref[:, :]
-    rep = jnp.concatenate([p] * _NCH)
-    mask, cmp = _decode_consts(c)
-    m = ((rep & mask) == cmp).astype(compute_dtype)
+    m = _onehot_m(p_ref[:, :], compute_dtype)
     dw = jnp.dot(m, g_ref[:, :].astype(compute_dtype),
                  preferred_element_type=jnp.float32)
 
@@ -264,7 +256,7 @@ def _onehot_linear_grad_w(
     )
     dw_r = pl.pallas_call(
         functools.partial(
-            _grad_kernel, c=cp,
+            _grad_kernel,
             compute_dtype=jnp.float32 if interpret else jnp.bfloat16),
         out_shape=jax.ShapeDtypeStruct((_NCH * cp, h), jnp.float32),
         grid_spec=grid_spec,

@@ -39,7 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .fused_linear import (
     _NCH,
-    _decode_consts,
+    _onehot_m,
     pad_cells,
     pad_dir_features,
     prep_actor_critic,
@@ -64,14 +64,11 @@ def _kernel(
     w1r_ref, wd_ref, w1t_ref, b1_ref,
     wat_ref, ba_ref, wvt_ref, bv_ref,
     o_ref,
-    *, c: int, num_actions: int, compute_dtype,
+    *, num_actions: int, compute_dtype,
 ):
     f32 = jnp.float32
 
-    p = p_ref[:, :]
-    rep = jnp.concatenate([p] * _NCH)                    # (21·C, TB)
-    mask, cmp = _decode_consts(c)
-    m = ((rep & mask) == cmp).astype(compute_dtype)
+    m = _onehot_m(p_ref[:, :], compute_dtype)            # (21·C, TB)
 
     dirf = d_ref[:, :].astype(compute_dtype)             # (Fp, TB)
     h = jnp.dot(w1r_ref[:, :].astype(compute_dtype), m,
@@ -192,7 +189,7 @@ def policy_sample_prepped(
     f32 = jnp.float32
     out = pl.pallas_call(
         functools.partial(
-            _kernel, c=cp, num_actions=num_actions,
+            _kernel, num_actions=num_actions,
             compute_dtype=compute_dtype),
         out_shape=jax.ShapeDtypeStruct((8, b), f32),
         grid_spec=grid_spec,

@@ -44,13 +44,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .fused_linear import (
     _NCH,
-    _decode_consts,
+    _onehot_m,
     pad_cells,
     pad_dir_features,
     prep_actor_critic,
 )
 
-_BLOCK = 1024
+_BLOCK = 4096
 _NEG = -1e9
 
 
@@ -74,7 +74,7 @@ def _kernel(
     dw1r_ref, dwd_ref, dw1_ref, db1_ref,
     dwa_ref, dba_ref, dwv_ref, dbv_ref,
     pg_ref, vf_ref, ent_ref,
-    *, c: int, num_actions: int, inv_b: float,
+    *, num_actions: int, inv_b: float,
     clip_eps: float, vf_coef: float, ent_coef: float, compute_dtype,
 ):
     i = pl.program_id(0)
@@ -82,10 +82,7 @@ def _kernel(
 
     # ---- forward -------------------------------------------------------
     # one-hot feature matrix, channel-major rows (fused_linear convention)
-    p = p_ref[:, :]
-    rep = jnp.concatenate([p] * _NCH)                    # (21·C, TB)
-    mask, cmp = _decode_consts(c)
-    m = ((rep & mask) == cmp).astype(compute_dtype)
+    m = _onehot_m(p_ref[:, :], compute_dtype)
 
     dirf = d_ref[:, :].astype(compute_dtype)             # (Fp, TB)
     h = jnp.dot(w1r_ref[:, :].astype(compute_dtype), m,
@@ -234,8 +231,11 @@ def ppo_mlp_grads(
     assert interpret or supports(b, h, num_actions), (b, h, num_actions)
     compute_dtype = jnp.float32 if interpret else jnp.bfloat16
 
-    packed = pad_cells(packed, cp)
-    dirf_p = pad_dir_features(dirf, fp)
+    # (Measured dead end: accepting pre-transposed (C, B) inputs to skip
+    # these relayouts is NOT faster — XLA fuses pad+transpose into one
+    # cheap relayout that overlaps adjacent work.)
+    packed_t = pad_cells(packed, cp).T
+    dirf_t = pad_dir_features(dirf, fp).T
 
     samp = jnp.stack([
         action.astype(jnp.float32), old_logp.astype(jnp.float32),
@@ -283,7 +283,7 @@ def ppo_mlp_grads(
     f32 = jnp.float32
     outs = pl.pallas_call(
         functools.partial(
-            _kernel, c=cp, num_actions=num_actions, inv_b=1.0 / b,
+            _kernel, num_actions=num_actions, inv_b=1.0 / b,
             clip_eps=clip_eps, vf_coef=vf_coef, ent_coef=ent_coef,
             compute_dtype=compute_dtype),
         out_shape=[
@@ -301,8 +301,10 @@ def ppo_mlp_grads(
         ],
         grid_spec=grid_spec,
         interpret=interpret,
+        compiler_params=(None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024)),
     )(
-        packed.T, dirf_p.T, samp,
+        packed_t, dirf_t, samp,
         w1r.astype(compute_dtype), wd.astype(compute_dtype),
         w1.T.astype(compute_dtype), w1.astype(compute_dtype),
         b1[:, None].astype(f32),
