@@ -58,11 +58,14 @@ _MAX_BLOCK = 512
 #: Playground); v5e accommodates 64 MB for this kernel's stack comfortably.
 _VMEM_LIMIT = 64 * 1024 * 1024
 
-#: VMEM working-set reference: a 1320-sublane padded plane at 512 lanes
-#: (19x19 grid, view 7) allocates a 19.6 MB kernel stack — validated against
-#: the raised limit on v5e with ~3x headroom; the stack scales ~linearly in
-#: plane_sublanes × lanes, so still-larger grids trade lanes for sublanes.
-_VMEM_REF = 1320 * 512
+#: VMEM working-set reference: a 1520-sublane padded plane at 512 lanes
+#: (19x19 grid + the slice-select x-chain's trailing wall pad, view 7)
+#: allocates a ~22.6 MB kernel stack — validated against the raised limit on
+#: v5e with ~3x headroom; the stack scales ~linearly in plane_sublanes ×
+#: lanes, so still-larger grids trade lanes for sublanes. (Set too low this
+#: silently halves the lane block: Playground at 256 lanes measured ~8%
+#: slower end-to-end.)
+_VMEM_REF = 1520 * 512
 
 
 def pick_block(w: int, h: int, vs: int) -> int:
