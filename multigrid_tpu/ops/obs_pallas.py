@@ -217,22 +217,24 @@ def _obs_kernel(
         hi = (win >> 8).astype(jnp.bfloat16)
         lo = (win & 255).astype(jnp.bfloat16)
         rot = ((meta_ref[2 * n + a, :] + 1) % 4).reshape(1, -1)
-        out_hi = jnp.zeros_like(hi)
-        out_lo = jnp.zeros_like(lo)
-        for k in range(4):
-            pk = _rotation_mat(vs, k, jnp.bfloat16)
-            sel = rot == k
-            out_hi = jnp.where(
+        # Rotations compose: rot = 2·b1 + b0 ⇒ P_rot = P180^b1 @ P90^b0, so
+        # two predicated levels (4 matmuls + 4 selects for the hi/lo pair)
+        # replace one predicated matmul per rotation value (8 + 8).
+        p90 = _rotation_mat(vs, 1, jnp.bfloat16)
+        p180 = _rotation_mat(vs, 2, jnp.bfloat16)
+        for pk, bit in ((p90, rot & 1), (p180, rot & 2)):
+            sel = bit != 0
+            hi = jnp.where(
                 sel,
                 jnp.dot(pk, hi, preferred_element_type=jnp.float32
                         ).astype(jnp.bfloat16),
-                out_hi)
-            out_lo = jnp.where(
+                hi)
+            lo = jnp.where(
                 sel,
                 jnp.dot(pk, lo, preferred_element_type=jnp.float32
                         ).astype(jnp.bfloat16),
-                out_lo)
-        out = (out_hi.astype(jnp.int32) << 8) | out_lo.astype(jnp.int32)
+                lo)
+        out = (hi.astype(jnp.int32) << 8) | lo.astype(jnp.int32)
         # Carried-object overlay at the agent's own view cell
         # (obs.py:204-207) — unconditional, empty encoding when hands free.
         carry = meta_ref[3 * n + a, :].reshape(1, -1)
