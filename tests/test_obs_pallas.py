@@ -61,3 +61,23 @@ def test_pallas_view_sizes(view_size):
     )(state)
     got = gen_obs_batched_pallas(state, view_size, False, interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_full_lane_blocks_for_shipped_grids():
+    """Every shipped grid size must keep the kernel at full 512-lane blocks.
+
+    Regression guard: the slice-select x-chain's trailing wall pad once grew
+    the 19x19 Playground plane past the VMEM working-set reference, silently
+    halving its lane block to 256 (~8% end-to-end loss) with no functional
+    signal. pick_block is pure geometry, so pin it for the zoo's grids.
+    """
+    from multigrid_tpu.envs import CONFIGURATIONS
+    from multigrid_tpu.ops.obs_pallas import pick_block
+
+    sizes = set()
+    for env_id in CONFIGURATIONS:
+        env = make(env_id, agents=2)
+        sizes.add((env.cfg.width, env.cfg.height))
+    assert len(sizes) >= 8  # the whole zoo, not a stub registry
+    for w, h in sorted(sizes):
+        assert pick_block(w, h, 7) == 512, (w, h, pick_block(w, h, 7))
