@@ -219,10 +219,14 @@ def make_train_step(
         config = config.replace(per_agent_policies=per_agent_policies)
 
     if config.per_agent_policies:
+        # The image's agent axis depends on the obs format: packed images
+        # are (..., N, vs²) flat cells, triples are (..., N, vs, vs, 3).
+        _img_agent_axis = -2 if getattr(net, 'packed_obs', False) else -4
+
         def apply_net(params, image, direction, mission=None):
-            # image (..., N, vs, vs, 3), direction (..., N): agent axis to
-            # front, one net application per agent's parameter slice.
-            img = jnp.moveaxis(image, -4, 0)
+            # Agent axis to front, one net application per agent's
+            # parameter slice.
+            img = jnp.moveaxis(image, _img_agent_axis, 0)
             dirn = jnp.moveaxis(direction, -1, 0)
             mis = None if mission is None else jnp.moveaxis(mission, -1, 0)
             logits, value = jax.vmap(

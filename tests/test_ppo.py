@@ -56,6 +56,22 @@ def test_per_agent_policies():
         assert moved, f'agent {a} parameters did not update'
 
 
+def test_per_agent_policies_packed_obs():
+    """Per-agent policies over the PACKED obs format (the train.py CLI
+    default): the image's agent axis sits at -2 (flat cell axis), not -4 —
+    regression test for the moveaxis crash that broke per-agent CLI
+    training."""
+    venv = VectorEnv(
+        make('MultiGrid-Empty-5x5-v0', agents=2), 4, packed_obs=True)
+    config = PPOConfig(rollout_steps=2, per_agent_policies=True)
+    state, net, config, tx = ppo_init(
+        venv, jax.random.key(2), config=config,
+        net_kwargs=dict(hidden=16, encoder='mlp'))
+    train_step = make_train_step(venv, net, config, tx)
+    state, metrics = train_step(state)
+    assert np.isfinite(float(metrics['loss']))
+
+
 def test_minibatched_epochs():
     """RLlib-style shuffled minibatch SGD (PPOConfig.minibatches): the
     (T·E) batch flattens, permutes per epoch and splits; per-minibatch
