@@ -36,7 +36,7 @@ def main():
     p.add_argument('--no-packed-obs', action='store_true')
     p.add_argument('--mode', default='full',
                    choices=['full', 'policy-nostore', 'store-nopolicy',
-                            'rollout'],
+                            'rollout', 'env-only'],
                    help='isolation modes: rollout with policy but no '
                         'trajectory storage / random actions with storage / '
                         'policy AND full trajectory storage, no learner')
@@ -85,6 +85,14 @@ def main():
                     logp = _select_log_prob(logits, action)
                     ys = (obs['image'], obs['direction'], action, logp,
                           value)
+                elif args.mode == 'env-only':
+                    # Random actions, no trajectory stacking: the same scan
+                    # harness as the other modes, so (this - store-nopolicy)
+                    # isolates the cost of stacking obs into the T-buffer.
+                    action = jax.random.randint(
+                        k, (venv.num_envs, venv.num_agents), 0, 7, jnp.int32)
+                    acc = acc + jnp.sum(obs['image'][0].astype(jnp.float32))
+                    ys = None
                 else:
                     action = jax.random.randint(
                         k, (venv.num_envs, venv.num_agents), 0, 7, jnp.int32)
