@@ -123,6 +123,22 @@ class MultiGridEnv(abc.ABC):
         return {**obs, 'mission': jnp.broadcast_to(
             jnp.asarray(mi, jnp.int32), (self.cfg.num_agents,))}
 
+    def success(self, state: MultiGridState) -> jax.Array:
+        """() bool — whether the episode's *task* is complete in ``state``.
+
+        The exact completion signal behind the training ``success_rate``
+        metric (evaluated on the final pre-reset state when an episode
+        ends), replacing the positive-return proxy that credited partial
+        progress (e.g. one unlocked LockedHallway room banks reward without
+        completing the task). The base default — any agent terminated — is
+        exact for environments where agent termination only ever happens on
+        task success (Empty's goal cell, reference base.py:478-507;
+        BlockedUnlockPickup's box pickup). Environments with failure
+        terminations (RedBlueDoors) or terminations that bypass agent state
+        (LockedHallway) override this with a state predicate.
+        """
+        return jnp.any(state.agent_terminated)
+
     def transform_obs(self, obs, state: MultiGridState):
         """Observation post-processing hook; identity for base environments.
 

@@ -254,6 +254,15 @@ class LockedHallwayEnv(RoomGrid):
             extras={**state.extras, 'door_unlocked': unlocked})
         return state, rewards, terminations
 
+    def success(self, state: MultiGridState) -> jax.Array:
+        """Task complete ⇔ every room door has been unlocked — the exact
+        all-doors termination condition (locked_hallway.py:225-227). The
+        base any-agent-terminated default never fires here: post_step flips
+        the *returned* terminations without touching agent state, and the
+        positive-return proxy over-counted (a single unlocked door already
+        banks reward)."""
+        return jnp.all(state.extras['door_unlocked'])
+
     # ------------------------------------------------------------ parity mode
 
     def _gen_grid_parity(self, G: np.random.Generator) -> dict:

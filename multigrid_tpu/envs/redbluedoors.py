@@ -146,6 +146,25 @@ class RedBlueDoorsEnv(MultiGridEnv):
         # identically here, so the final flags are just the agent state.
         return state, rewards, state.agent_terminated
 
+    def success(self, state: MultiGridState) -> jax.Array:
+        """Task complete ⇔ both doors are open: the success branch leaves
+        red and blue open (envs/redbluedoors.py:177-183), while the failure
+        branch snaps the blue door shut again (:186) and truncation never
+        opens it — so the end-state predicate is exact. (The base
+        any-agent-terminated default is wrong here: failure also sets
+        agent termination flags.)"""
+        cx = jnp.arange(self.cfg.width, dtype=jnp.int32)[:, None]
+        cy = jnp.arange(self.cfg.height, dtype=jnp.int32)[None, :]
+
+        def door_state(pos):
+            mask = (cx == pos[0]) & (cy == pos[1])
+            return jnp.sum(jnp.where(mask, state.grid[..., 2], 0))
+
+        return (
+            (door_state(state.extras['red_pos']) == STATE_OPEN)
+            & (door_state(state.extras['blue_pos']) == STATE_OPEN)
+        )
+
     # ------------------------------------------------------------ parity mode
 
     def _gen_grid_parity(self, G: np.random.Generator) -> dict:

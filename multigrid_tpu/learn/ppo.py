@@ -223,16 +223,22 @@ def make_train_step(
         # are (..., N, vs²) flat cells, triples are (..., N, vs, vs, 3).
         _img_agent_axis = -2 if getattr(net, 'packed_obs', False) else -4
 
-        def apply_net(params, image, direction, mission=None):
+        def apply_net(params, image, direction, mission=None, fused=False):
             # Agent axis to front, one net application per agent's
-            # parameter slice.
+            # parameter slice. The fused Pallas first layer composes with
+            # the agent vmap (Pallas batching adds a leading grid axis), so
+            # per-agent training rides the same kernels as shared self-play.
             img = jnp.moveaxis(image, _img_agent_axis, 0)
             dirn = jnp.moveaxis(direction, -1, 0)
             mis = None if mission is None else jnp.moveaxis(mission, -1, 0)
-            logits, value = jax.vmap(
-                lambda p, i, d: net.apply(p, i, d)
-            )(params, img, dirn) if mis is None else jax.vmap(
-                net.apply)(params, img, dirn, mis)
+            if mis is None:
+                logits, value = jax.vmap(
+                    lambda p, i, d: net.apply(p, i, d, fused=fused)
+                )(params, img, dirn)
+            else:
+                logits, value = jax.vmap(
+                    lambda p, i, d, m: net.apply(p, i, d, m, fused=fused)
+                )(params, img, dirn, mis)
             return jnp.moveaxis(logits, 0, -2), jnp.moveaxis(value, 0, -1)
     else:
         apply_net = net.apply
@@ -246,24 +252,30 @@ def make_train_step(
     # update, and differentiable.
     from ..ops.fused_linear import prep_actor_critic
     from ..ops.fused_linear import supports_batch as _fused_ok
+    # Per-agent policies route each agent's (E,)-batch through its own
+    # kernel instance (vmap → leading Pallas grid axis), so the eligible
+    # batch is per agent there.
+    _roll_batch = (
+        venv.num_envs if config.per_agent_policies
+        else venv.num_envs * venv.num_agents)
     fused_rollout = (
         getattr(net, 'encoder', None) == 'mlp'
         and getattr(net, 'packed_obs', False)
-        and not config.per_agent_policies
         and (jax.default_backend() == 'tpu' or FUSED_INTERPRET)
-        and _fused_ok(venv.num_envs * venv.num_agents)
+        and _fused_ok(_roll_batch)
     )
     fused_mode = 'interpret' if FUSED_INTERPRET else True
 
     def policy(params, obs):
         # obs arrays are (E, N, ...): flatten agents into the batch.
-        if fused_rollout:
+        if fused_rollout and not config.per_agent_policies:
             logits, value = net.apply(
                 params, obs['image'], obs['direction'], obs.get('mission'),
                 fused=fused_mode)
         else:
             logits, value = apply_net(
-                params, obs['image'], obs['direction'], obs.get('mission'))
+                params, obs['image'], obs['direction'], obs.get('mission'),
+                fused=fused_mode if fused_rollout else False)
         return logits, value
 
     # Rollout sampling fully fused: one Pallas kernel from packed cells to
@@ -338,19 +350,20 @@ def make_train_step(
             key, k_act = jax.random.split(key)
             action, log_prob, value = sample_policy(
                 state.params, prepped, obs, k_act)
-            next_obs, env_state, reward, term, trunc, done = venv.step(
-                env_state, action.astype(jnp.int32)
-            )
+            next_obs, env_state, reward, term, trunc, done, success = \
+                venv.step(env_state, action.astype(jnp.int32))
             # Exact episodic-return bookkeeping (all agents summed per
             # episode — RLlib's episode_reward_mean convention): accumulate
             # across update boundaries, bank on episode end. An episode
-            # counts as a success when it banks a positive return (every
-            # registered env's success reward is positive and its failure /
-            # truncation return is ≤ 0, reference base.py:598-602).
+            # counts as a success when the env's exact task-completion
+            # predicate holds on its final pre-reset state
+            # (MultiGridEnv.success) — not the old positive-return proxy,
+            # which credited partial progress on multi-goal envs
+            # (LockedHallway banks reward per unlocked door).
             ep_acc = ep_acc + reward.sum(-1)
             ep_sum = ep_sum + jnp.where(done, ep_acc, 0.0).sum()
             ep_cnt = ep_cnt + done.sum()
-            ep_suc = ep_suc + (done & (ep_acc > 0)).sum()
+            ep_suc = ep_suc + (done & success).sum()
             ep_acc = jnp.where(done, 0.0, ep_acc)
             step_data = Rollout(
                 image=obs['image'], direction=obs['direction'],
@@ -394,14 +407,18 @@ def make_train_step(
             reverse=True,
             # The body is a handful of elementwise ops on (E, N) slices;
             # a device loop pays a fixed per-iteration cost that dwarfs the
-            # math (measured 0.148 → 0.061 ms/update unrolled at T=16).
-            unroll=True,
+            # math (measured 0.148 → 0.061 ms/update fully unrolled at
+            # T=16). Past T=32 a partial unroll keeps the amortization with
+            # bounded program size (full unroll at T=128 inflates compile).
+            unroll=True if config.rollout_steps <= 32 else 16,
         )
         return advantages, advantages + traj.value
 
     def loss_fn(params, traj: Rollout, advantages, targets):
-        if fused_rollout and _fused_ok(
-                int(np.prod(traj.direction.shape))):
+        _b = int(np.prod(traj.direction.shape))
+        if config.per_agent_policies:
+            _b //= traj.direction.shape[-1]
+        if fused_rollout and _fused_ok(_b):
             # Same fused first layer in the learner: the XLA one-hot
             # expansion costs the same per sample here as it did in the
             # rollout (it scales with T — invisible to rollout-length
@@ -409,7 +426,7 @@ def make_train_step(
             # dead end: jax.checkpoint around this apply drops 17.4M →
             # 13.2M — the recompute re-runs the Pallas kernel serially with
             # the backward instead of trading FLOPs for saved traffic.)
-            logits, value = net.apply(
+            logits, value = apply_net(
                 params, traj.image, traj.direction, traj.mission,
                 fused=fused_mode)
         else:
@@ -446,11 +463,73 @@ def make_train_step(
     from ..ops.fused_ppo import ppo_mlp_grads
     from ..ops.fused_ppo import supports as _loss_kernel_ok
 
+    def _sgd_step_kernel_per_agent(params, opt_state, traj, advantages,
+                                   targets):
+        """Per-agent policies through the SAME fused PPO loss kernel: one
+        kernel instance per agent via vmap (Pallas batching adds a leading
+        grid axis over the stacked weight blocks), so the reference's
+        independent ``policy_{i}`` scheme no longer falls off the fused
+        path (round-3 gap: every fused gate required shared params)."""
+        n = traj.direction.shape[-1]
+        b_per = int(np.prod(traj.direction.shape)) // n
+
+        # Agent axis to the front; merge the rest. On a mesh the env axis
+        # must stay outermost of the merged pair so the 'env' sharding of
+        # the (N, E·T) result stays expressible (see the shared path).
+        if venv.mesh is None:
+            def flat(x):  # (T, E, N, ...) → (N, T·E, ...)
+                x = jnp.moveaxis(x, 2, 0)
+                return x.reshape((n, b_per) + x.shape[3:])
+        else:
+            def flat(x):  # (T, E, N, ...) → (N, E·T, ...)
+                x = jnp.transpose(
+                    x, (2, 1, 0) + tuple(range(3, x.ndim)))
+                return x.reshape((n, b_per) + x.shape[3:])
+
+        packed = flat(traj.image)
+        theta = flat(traj.direction).astype(net.dtype) * (jnp.pi / 2)
+        dirf = jnp.stack(
+            [jnp.cos(theta), jnp.sin(theta)], -1).astype(jnp.float32)
+        if net.num_missions and traj.mission is not None:
+            dirf = jnp.concatenate([
+                dirf,
+                jax.nn.one_hot(flat(traj.mission), net.num_missions,
+                               dtype=jnp.float32)], axis=-1)
+        # Normalize within each agent's own batch (matches loss_fn's
+        # per-agent axes — independent policies must not couple through
+        # each other's reward statistics).
+        adv_a = flat(advantages)
+        mu = adv_a.mean(axis=1, keepdims=True)
+        sd = adv_a.std(axis=1, keepdims=True)
+        advn = (adv_a - mu) / (sd + 1e-8)
+
+        grads, metrics = jax.vmap(
+            lambda p, pk, df, ac, ol, ad, tg: ppo_mlp_grads(
+                p, pk, df, ac, ol, ad, tg,
+                clip_eps=config.clip_eps, vf_coef=config.vf_coef,
+                ent_coef=config.ent_coef, num_actions=net.num_actions,
+                interpret=FUSED_INTERPRET)
+        )(params, packed, dirf, flat(traj.action), flat(traj.log_prob),
+          advn, flat(targets))
+        # Each kernel instance scaled its loss by 1/b_per; the XLA path
+        # (jax.grad of loss_fn) means over all N·b_per samples — rescale so
+        # both paths feed the per-agent clipping identically.
+        grads = jax.tree.map(lambda g: g / n, grads)
+        metrics = jax.tree.map(lambda m: m.mean(), metrics)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, metrics
+
     def sgd_step(params, opt_state, traj, advantages, targets):
+        n = traj.direction.shape[-1]
         b = int(np.prod(traj.direction.shape))
-        if fused_rollout and _loss_kernel_ok(
-                b, net.hidden, net.num_actions) and (
-                net.num_missions == 0 or traj.mission is not None):
+        _missions_ok = net.num_missions == 0 or traj.mission is not None
+        if (fused_rollout and config.per_agent_policies and _missions_ok
+                and _loss_kernel_ok(b // n, net.hidden, net.num_actions)):
+            return _sgd_step_kernel_per_agent(
+                params, opt_state, traj, advantages, targets)
+        if fused_rollout and not config.per_agent_policies \
+                and _loss_kernel_ok(
+                    b, net.hidden, net.num_actions) and _missions_ok:
             # The whole loss forward+backward as ONE Pallas kernel
             # (ops/fused_ppo.py): every (B, hidden) activation/residual
             # stays in VMEM; HBM sees only the packed cells and the
@@ -568,8 +647,10 @@ def make_train_step(
         metrics['episodes_in_batch'] = ep_cnt.astype(jnp.float32)
         metrics['episode_reward'] = jnp.where(
             ep_cnt > 0, ep_sum / jnp.maximum(ep_cnt, 1), jnp.nan)
-        # Fraction of completed episodes that banked a positive return — the
-        # success-rate readout for sparse-reward envs (RedBlueDoors, BUP).
+        # Fraction of completed episodes whose final state satisfied the
+        # env's exact task-completion predicate (MultiGridEnv.success) — the
+        # success-rate readout for sparse-reward envs (RedBlueDoors, BUP,
+        # LockedHallway's all-doors-unlocked).
         metrics['success_rate'] = jnp.where(
             ep_cnt > 0, ep_suc / jnp.maximum(ep_cnt, 1), jnp.nan)
         state = state.replace(

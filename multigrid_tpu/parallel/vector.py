@@ -45,13 +45,15 @@ class VectorEnv:
 
         venv = VectorEnv(make('MultiGrid-Empty-8x8-v0', agents=2), 4096)
         obs, state = venv.reset(jax.random.key(0))
-        obs, state, rew, term, trunc, done = venv.step(state, actions)
+        obs, state, rew, term, trunc, done, success = venv.step(state, actions)
 
     All returned arrays have a leading ``(num_envs, ...)`` axis. ``done`` is
     ``(num_envs,)`` — True where the *previous* episode ended this step and
     the returned obs/state belong to a freshly reset episode (the standard
     lockstep auto-reset contract; final-step rewards/terminations are the
-    ending episode's).
+    ending episode's). ``success`` is ``(num_envs,)`` — the env's exact
+    task-completion predicate (:meth:`MultiGridEnv.success`) evaluated on
+    the final *pre-reset* state; meaningful where ``done`` is True.
     """
 
     def __init__(
@@ -262,7 +264,7 @@ class VectorEnv:
 
         Returns
         -------
-        (obs, state, rewards, terminations, truncations, done)
+        (obs, state, rewards, terminations, truncations, done, success)
         """
 
         state, pool = self._strip_pool(state)
@@ -275,6 +277,11 @@ class VectorEnv:
 
         obs_state, new_state, rew, term, trunc = jax.vmap(one)(state, actions)
         done = jnp.all(term, axis=-1) | jnp.any(trunc, axis=-1)
+        # Exact task completion, evaluated on the final post-hook state
+        # BEFORE auto-reset swaps in a fresh layout (the predicate reads
+        # episode state — door flags, carried objects — that the reset
+        # erases). Meaningful where ``done``; a cheap all-lanes eval.
+        success = jax.vmap(self.env.success)(new_state)
         if self.auto_reset:
             if pool:
                 # Consume the pregenerated reserve through the rotating
@@ -317,7 +324,8 @@ class VectorEnv:
             pool = self._refresh_pool(pool, new_state)
             new_state = new_state.replace(
                 extras={**new_state.extras, **pool})
-        return self._constrain((obs, new_state, rew, term, trunc, done))
+        return self._constrain(
+            (obs, new_state, rew, term, trunc, done, success))
 
     def _gen_obs_batched(self, state: MultiGridState, interpret: bool = False):
         """Raw observations for a batched state — fused Pallas kernel on TPU,
@@ -404,7 +412,7 @@ class VectorEnv:
                 ak, (self.num_envs, self.num_agents), 0, NUM_ACTIONS,
                 dtype=jnp.int32,
             )
-            obs, st, rew, _, _, done = self.step(st, actions)
+            obs, st, rew, _, _, done, _ = self.step(st, actions)
             # The image is the expensive leaf — checksum it specifically so
             # the obs kernel stays live (dict iteration order would otherwise
             # pick 'direction', leaving the image dead code).

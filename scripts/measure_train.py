@@ -34,6 +34,12 @@ def main():
     p.add_argument('--minibatches', type=int, default=1)
     p.add_argument('--epochs', type=int, default=1)
     p.add_argument('--no-packed-obs', action='store_true')
+    p.add_argument('--per-agent-policies', action='store_true',
+                   help="independent policy_{i} parameters per agent (the "
+                        "reference example's scheme)")
+    p.add_argument('--platform', default=None, choices=['cpu', 'tpu'],
+                   help='force a jax platform (sitecustomize already spent '
+                        'the JAX_PLATFORMS env var)')
     p.add_argument('--mode', default='full',
                    choices=['full', 'policy-nostore', 'store-nopolicy',
                             'rollout', 'env-only'],
@@ -41,6 +47,8 @@ def main():
                         'trajectory storage / random actions with storage / '
                         'policy AND full trajectory storage, no learner')
     args = p.parse_args()
+    if args.platform:
+        jax.config.update('jax_platforms', args.platform)
 
     from multigrid_tpu.envs import make
     from multigrid_tpu.learn import PPOConfig, make_train_loop, ppo_init
@@ -49,7 +57,8 @@ def main():
     env = make(args.env, agents=args.num_agents)
     venv = VectorEnv(env, args.num_envs, packed_obs=not args.no_packed_obs)
     config = PPOConfig(rollout_steps=args.rollout_steps,
-                       minibatches=args.minibatches, epochs=args.epochs)
+                       minibatches=args.minibatches, epochs=args.epochs,
+                       per_agent_policies=args.per_agent_policies)
     state, net, config, tx = ppo_init(
         venv, jax.random.key(0), config=config,
         net_kwargs=dict(encoder=args.encoder, hidden=args.hidden))
@@ -97,7 +106,7 @@ def main():
                     action = jax.random.randint(
                         k, (venv.num_envs, venv.num_agents), 0, 7, jnp.int32)
                     ys = (obs['image'], obs['direction'], action)
-                obs2, env_state, reward, term, trunc, done = venv.step(
+                obs2, env_state, reward, term, trunc, done, _ = venv.step(
                     env_state, action)
                 if args.mode == 'rollout':
                     ys = ys + (reward, done[:, None] | term)
@@ -139,6 +148,10 @@ def main():
         dt = time.perf_counter() - t0
         rates.append(args.calls_per_repeat * steps_per_call / dt)
     rates.sort()
+
+    roofline = {}
+    if args.mode == 'full':
+        roofline = _train_roofline(args, venv, net, config, rates[-1])
     print(json.dumps({
         'encoder': args.encoder,
         'hidden': args.hidden,
@@ -150,7 +163,76 @@ def main():
         'trained_agent_steps_per_sec': round(rates[-1]),
         'median': round(rates[len(rates) // 2]),
         'compile_s': round(compile_s, 1),
+        **roofline,
     }), flush=True)
+
+
+def _train_roofline(args, venv, net, config, best_rate: float) -> dict:
+    """Analytic lower bounds on the WHOLE train step's HBM traffic and MXU
+    FLOPs, divided by the measured update time → achieved GB/s and TFLOP/s
+    vs TPU v5e peaks (819 GB/s HBM, 197 bf16 TFLOP/s). Mirrors the env-step
+    accounting in bench.py:170-200; this is the "trained headroom
+    remaining" number for docs/PERFORMANCE.md.
+
+    The bounds count each array the update must move at least once:
+    anything XLA fails to fuse (re-reads, spills, padding) makes the
+    *achieved* figure exceed the bound's share of the measured time — so
+    utilization is a floor, and 1 − max(utilization) is provable headroom
+    only under the bound's fusion assumptions (stated per term below).
+    """
+    import numpy as np
+    e, n, t = args.num_envs, args.num_agents, args.rollout_steps
+    env = venv.env
+    w, h = env.width, env.height
+    vs = env.cfg.view_size
+    c = vs * vs
+    hid, acts = net.hidden, net.num_actions
+    epochs, mb = config.epochs, config.minibatches
+    samples = t * e * n
+
+    # --- HBM bytes per update (lower bound) ------------------------------
+    from multigrid_tpu.ops.obs_pallas import _row_stride
+    grid = e * w * h * 3 * 4
+    agents = e * n * 16 * 4
+    plane = e * (w + 2 * vs) * _row_stride(h, vs) * 4
+    obs_out = e * n * c * 4
+    env_step = 2 * grid + 2 * agents + grid + 2 * plane + 2 * obs_out
+    # Rollout trajectory: packed image + 6 small (E, N) leaves (+ mission),
+    # written once at rollout, read once per learner epoch.
+    row = n * (c + 6 + (1 if net.num_missions else 0)) * 4
+    traj = t * e * row * (1 + epochs)
+    # Minibatched epochs shuffle (T-perm + env-roll): one extra read+write
+    # of the batch per epoch.
+    shuffle = 2 * t * e * row * epochs if mb > 1 else 0
+    # Policy weights: streamed once per rollout step (first-layer blocks in
+    # the fused kernel) and per sgd step (read + grad write + adam moments).
+    p = (c * 21 + 2 + net.num_missions) * hid + hid * hid + hid * (acts + 1)
+    weights = (t + 1) * p * 4 + epochs * mb * p * 4 * 6
+    total_bytes = env_step * t + traj + shuffle + weights
+
+    # --- MXU FLOPs per update (lower bound) ------------------------------
+    if args.encoder == 'mlp':
+        fwd = 2 * ((c * 21 + 2 + net.num_missions) * hid
+                   + hid * hid + hid * (acts + 1))
+    else:  # reference 3-conv stack on (vs, vs, 21) one-hot planes
+        o1, o2, o3 = vs - 2, vs - 4, vs - 6
+        fwd = 2 * (o1 * o1 * 9 * 21 * 16 + o2 * o2 * 9 * 16 * 32
+                   + o3 * o3 * 9 * 32 * 64          # the 3 convs
+                   + (o3 * o3 * 64) * hid           # flatten → trunk Dense
+                   + hid * hid + hid * (acts + 1))
+    flops = samples * fwd * (1 + 3 * epochs) + e * n * fwd  # rollout + learner + last_value
+
+    upd_s = samples / best_rate
+    gbps = total_bytes / upd_s / 1e9
+    tflops = flops / upd_s / 1e12
+    return {
+        'update_hbm_gb_lower_bound': round(total_bytes / 1e9, 3),
+        'achieved_hbm_gbps': round(gbps, 1),
+        'hbm_utilization_vs_v5e_peak': round(gbps / 819.0, 3),
+        'update_tflop_lower_bound': round(flops / 1e12, 4),
+        'achieved_tflops': round(tflops, 1),
+        'mxu_utilization_vs_v5e_peak': round(tflops / 197.0, 3),
+    }
 
 
 if __name__ == '__main__':

@@ -35,8 +35,12 @@ def probe(env_id: str, num_agents: int, num_envs: int, steps: int, seed: int):
         actions = jax.random.randint(
             ak, (num_envs, env.cfg.num_agents), 0, NUM_ACTIONS,
             dtype=jnp.int32)
-        _, st, rew, term, trunc, done = venv.step(st, actions)
-        win = done & (rew.sum(-1) > 0)
+        _, st, rew, term, trunc, done, success = venv.step(st, actions)
+        # Exact task completion (MultiGridEnv.success on the final pre-reset
+        # state), not the positive-return proxy — on LockedHallway a random
+        # walk frequently unlocks one door (partial reward) without ever
+        # completing the task.
+        win = done & success
         tr = jnp.any(trunc, axis=-1) & ~jnp.all(term, axis=-1)
         return (st, k, succ + win.sum(), fail + (done & ~win & ~tr).sum(),
                 trunc_n + (done & tr).sum()), None

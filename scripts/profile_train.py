@@ -109,7 +109,7 @@ def main():
             key, k_act = jax.random.split(key)
             logits, value = policy(state.params, obs)
             action = jax.random.categorical(k_act, logits)
-            next_obs, env_state, reward, term, trunc, done = venv.step(
+            next_obs, env_state, reward, term, trunc, done, _ = venv.step(
                 env_state, action.astype(jnp.int32))
             acc = acc + reward.sum() + value.sum()
             return (env_state, next_obs, key, acc), None
@@ -147,7 +147,7 @@ def main():
             log_prob = jnp.take_along_axis(
                 jax.nn.log_softmax(logits), action[..., None], axis=-1
             ).squeeze(-1)
-            next_obs, env_state, reward, term, trunc, done = venv.step(
+            next_obs, env_state, reward, term, trunc, done, _ = venv.step(
                 env_state, action.astype(jnp.int32))
             step_data = ppo_mod.Rollout(
                 image=obs['image'], direction=obs['direction'],

@@ -152,3 +152,50 @@ def test_train_step_fused_vs_autodiff_loss():
                 np.asarray(lf), np.asarray(lp_), rtol=0.2, atol=0.05)
     finally:
         ppo_mod.FUSED_INTERPRET = False
+
+
+def test_train_step_fused_per_agent_vs_autodiff():
+    """Per-agent policies on the fused path: each agent's batch through its
+    own loss-kernel instance (vmap → leading Pallas grid axis over stacked
+    weight blocks) must track jax.grad through the XLA loss with the same
+    per-agent advantage normalization and the 1/(N·B) loss scale."""
+    from multigrid_tpu.envs import make
+    from multigrid_tpu.learn import PPOConfig, make_train_step, ppo_init
+    from multigrid_tpu.learn import ppo as ppo_mod
+    from multigrid_tpu.parallel import VectorEnv
+
+    venv = VectorEnv(
+        make('MultiGrid-Empty-5x5-v0', agents=2), 64, packed_obs=True)
+    config = PPOConfig(rollout_steps=4, epochs=2, minibatches=2,
+                       per_agent_policies=True)
+
+    ppo_mod.FUSED_INTERPRET = True
+    try:
+        state0, net, config, tx = ppo_init(
+            venv, jax.random.key(0),
+            net_kwargs=dict(encoder='mlp', hidden=32), config=config)
+        step_fused = make_train_step(venv, net, config, tx)
+
+        import multigrid_tpu.ops.fused_ppo as fp
+        orig = fp.supports
+        fp.supports = lambda *a: False  # force the jax.grad loss path
+        try:
+            step_plain = make_train_step(venv, net, config, tx)
+        finally:
+            fp.supports = orig
+
+        sf = sp = state0
+        for _ in range(3):
+            sf, mf = step_fused(sf)
+            sp, mp = step_plain(sp)
+            for k in ('loss', 'pg_loss', 'vf_loss', 'entropy'):
+                np.testing.assert_allclose(
+                    float(mf[k]), float(mp[k]), rtol=0.05, atol=5e-3,
+                    err_msg=k)
+        for lf, lp_ in zip(jax.tree.leaves(sf.params),
+                           jax.tree.leaves(sp.params)):
+            assert lf.shape == lp_.shape  # stacked leading agent axis
+            np.testing.assert_allclose(
+                np.asarray(lf), np.asarray(lp_), rtol=0.2, atol=0.05)
+    finally:
+        ppo_mod.FUSED_INTERPRET = False

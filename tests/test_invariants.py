@@ -66,7 +66,7 @@ def test_fuzz_invariants(env_id, agents):
     for t in range(60):
         actions = jnp.asarray(
             rng.integers(0, 7, size=(8, agents)), dtype=jnp.int32)
-        obs, state, rew, term, trunc, done = venv.step(state, actions)
+        obs, state, rew, term, trunc, done, success = venv.step(state, actions)
 
         grid = np.asarray(state.grid)
         # Encoding ranges: every cell holds a valid (type, color, state).

@@ -23,7 +23,7 @@ def test_batch_matches_single():
         np.testing.assert_array_equal(state.grid[e], state_e.grid)
 
     actions = jnp.tile(jnp.array([[2, 1]], dtype=jnp.int32), (4, 1))
-    obs, state, rew, term, trunc, done = venv.step(state, actions)
+    obs, state, rew, term, trunc, done, success = venv.step(state, actions)
     assert obs['image'].shape == (4, 2, 7, 7, 3)
     assert rew.shape == (4, 2) and done.shape == (4,)
 
@@ -38,10 +38,11 @@ def test_auto_reset():
     plan = [2, 2, 1, 2, 2]
     for t, a in enumerate(plan):
         actions = jnp.array([[a], [6]], dtype=jnp.int32)  # env 1 idles
-        obs, state, rew, term, trunc, done = venv.step(state, actions)
+        obs, state, rew, term, trunc, done, success = venv.step(state, actions)
         if t < len(plan) - 1:
             assert not bool(done[0])
     assert bool(done[0]) and not bool(done[1])
+    assert bool(success[0])  # reached the goal = exact task completion
     assert float(rew[0, 0]) > 0
     # After auto-reset the agent is back at the start, episode counter cleared.
     assert int(state.step_count[0]) == 0
@@ -57,8 +58,9 @@ def test_truncation_auto_reset():
     _, state = venv.reset(jax.random.key(2))
     for _ in range(3):
         actions = jnp.zeros((2, 1), dtype=jnp.int32)  # spin in place
-        obs, state, rew, term, trunc, done = venv.step(state, actions)
+        obs, state, rew, term, trunc, done, success = venv.step(state, actions)
     assert bool(done.all())
+    assert not bool(success.any())  # truncation is not task completion
     assert int(state.step_count[0]) == 0
 
 
@@ -107,7 +109,7 @@ def test_reset_pool_auto_reset():
     first_grid = np.asarray(state.grid)
     for _ in range(3):
         actions = jnp.zeros((4, 2), dtype=jnp.int32)
-        _, state, rew, term, trunc, done = venv.step(state, actions)
+        _, state, rew, term, trunc, done, success = venv.step(state, actions)
     assert bool(done.all())  # truncation at max_steps=3
     assert int(state.step_count.max()) == 0
     grid = np.asarray(state.grid)
@@ -130,7 +132,7 @@ def test_reset_pool_determinism_and_refresh():
         seen = []
         for t in range(12):
             actions = jnp.full((4, 2), 6, dtype=jnp.int32)  # idle
-            _, state, *_, done = venv.step(state, actions)
+            _, state, *_, done, _success = venv.step(state, actions)
             if bool(done.all()):
                 seen.append(np.asarray(state.grid).copy())
         grids.append(seen)
@@ -155,7 +157,7 @@ def test_reset_pool_no_replay_for_short_episodes():
     layouts = [np.asarray(state.grid).copy()]
     for t in range(30):  # 3 consecutive 10-step episodes, period 128
         actions = jnp.full((8, 2), 6, dtype=jnp.int32)  # idle
-        _, state, *_, done = venv.step(state, actions)
+        _, state, *_, done, _success = venv.step(state, actions)
         if bool(done.all()):
             layouts.append(np.asarray(state.grid).copy())
     assert len(layouts) == 4
@@ -178,7 +180,7 @@ def test_reset_pool_rotation_determinism():
         seen = []
         for t in range(15):
             actions = jnp.full((8, 2), 6, dtype=jnp.int32)
-            _, state, *_, done = venv.step(state, actions)
+            _, state, *_, done, _success = venv.step(state, actions)
             if bool(done.all()):
                 seen.append(np.asarray(state.grid).copy())
         seqs.append(seen)
