@@ -11,7 +11,6 @@ never change for the core types.
 from __future__ import annotations
 
 import enum
-import functools
 from typing import Any
 
 import numpy as np
@@ -44,42 +43,49 @@ def extend_enum(cls: type[enum.Enum], name: str, value: Any) -> enum.Enum:
     return member
 
 
-@functools.cache
-def _enum_array(enum_cls) -> np.ndarray:
-    """Array of all member values of the given enum class (cached)."""
-    return np.array([item.value for item in enum_cls])
-
-
-@functools.cache
-def _enum_index(enum_item) -> int:
-    """Integer index of the given enum member within its class (cached)."""
-    return list(enum_item.__class__).index(enum_item)
-
-
 class IndexedEnum(enum.Enum):
     """Enum where each member has a corresponding stable integer index.
 
     API-parity with the reference ``IndexedEnum``
     (multigrid/utils/enum.py:42-89): ``to_index``, ``from_index`` (vectorized
-    over arrays), ``add_item``, and ``int()`` conversion.
+    over arrays), ``add_item``, and ``int()`` conversion. The index of a
+    member is its position in definition order — the wire format of the
+    dense grid encodings, so extension only ever *appends*.
+
+    Index/value tables are built lazily per class and stored on the class
+    itself (name-mangled so subclasses never inherit a parent's stale
+    table), rebuilt after :meth:`add_item`.
     """
 
     def __int__(self) -> int:
         return self.to_index()
 
     @classmethod
+    def _tables(cls) -> tuple[dict[enum.Enum, int], np.ndarray]:
+        # Vars() (not getattr) so a subclass builds its own entry instead of
+        # reading one inherited from a parent enum class.
+        cached = vars(cls).get('_indexed_tables_')
+        if cached is None:
+            cached = (
+                {member: i for i, member in enumerate(cls)},
+                np.asarray([member.value for member in cls]),
+            )
+            type.__setattr__(cls, '_indexed_tables_', cached)
+        return cached
+
+    @classmethod
     def add_item(cls, name: str, value: Any):
-        """Add a new item to the enumeration (invalidates index caches)."""
+        """Append a new item to the enumeration (rebuilds the index table)."""
         extend_enum(cls, name, value)
-        _enum_array.cache_clear()
-        _enum_index.cache_clear()
+        type.__setattr__(cls, '_indexed_tables_', None)
 
     @classmethod
     def from_index(cls, index):
-        """Return the enum member (or array of member values) at ``index``."""
-        out = _enum_array(cls)[index]
-        return cls(out) if np.ndim(out) == 0 else out
+        """Return the enum member at ``index`` — or, given an array of
+        indices, the array of member *values* (vectorized lookup)."""
+        values = cls._tables()[1][index]
+        return cls(values) if np.ndim(values) == 0 else values
 
     def to_index(self) -> int:
         """Return the integer index of this enum member."""
-        return _enum_index(self)
+        return self._tables()[0][self]
