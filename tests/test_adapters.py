@@ -209,3 +209,70 @@ def test_rllib_multiagentenv_conformance():
     from multigrid_tpu.adapters.rllib import register_rllib_envs
     register_rllib_envs()
     assert _global_registry.contains(ENV_CREATOR, 'MultiGrid-Empty-8x8-v0')
+
+
+def test_rllib_multiagentenv_contract_double():
+    """RLlib conformance against a vendored contract double.
+
+    Ray is not installable in the offline dev/CI environment, so the real
+    ``MultiAgentEnv`` conformance test above has never executed there. This
+    test vendors the contract instead — the method/attribute surface and
+    behavioral checks of ray 2.x's ``MultiAgentEnv`` and its env pre-checker
+    (``ray.rllib.utils.pre_checks.env.check_multiagent_environments``), with
+    signatures lifted from the ray source the reference example drives
+    (multigrid/scripts/train.py:126-199 builds an ``AlgorithmConfig`` whose
+    env runner calls exactly these) — so it FAILS if ``adapters/rllib.py``
+    drifts from the real contract, without needing ray at test time.
+    """
+    import inspect
+
+    env = RLlibWrapper(make('MultiGrid-Empty-5x5-v0', agents=2))
+
+    # --- surface: attributes and method signatures (ray 2.x MultiAgentEnv).
+    assert isinstance(env.agents, list) and env.agents == [0, 1]
+    assert env.possible_agents == env.agents
+    sig = inspect.signature(env.reset)
+    assert set(sig.parameters) >= {'seed', 'options'}
+    assert all(sig.parameters[p].kind is inspect.Parameter.KEYWORD_ONLY
+               for p in ('seed', 'options'))  # reset(*, seed=None, options=None)
+    assert len(inspect.signature(env.step).parameters) == 1
+    for getter in (env.get_observation_space, env.get_action_space):
+        assert len(inspect.signature(getter).parameters) == 1
+    for name in ('render', 'close'):
+        assert callable(getattr(env, name))
+
+    # --- behavior: ray's pre-checker requirements.
+    obs, infos = env.reset(seed=0)
+    assert isinstance(obs, dict) and isinstance(infos, dict)
+    agent_ids = set(env.possible_agents)
+    assert set(obs) <= agent_ids  # obs keyed by (a subset of) agent ids
+    for aid in obs:
+        space = env.get_observation_space(aid)
+        assert space.contains(obs[aid]), (
+            f'obs for agent {aid} not in get_observation_space({aid})')
+
+    actions = {aid: env.get_action_space(aid).sample() for aid in env.agents}
+    result = env.step(actions)
+    assert len(result) == 5
+    obs, rewards, terminateds, truncateds, infos = result
+    for d in result:
+        assert isinstance(d, dict)
+    # '__all__' present in both done dicts, and not an agent id.
+    assert '__all__' in terminateds and '__all__' in truncateds
+    assert isinstance(terminateds['__all__'], bool)
+    assert set(obs) - {'__all__'} <= agent_ids
+    assert set(rewards) <= agent_ids
+    for aid in rewards:
+        assert isinstance(rewards[aid], (int, float))
+    for aid in set(terminateds) - {'__all__'}:
+        assert isinstance(terminateds[aid], bool)
+    for aid in obs:
+        assert env.get_observation_space(aid).contains(obs[aid])
+
+    # --- the class factory RLlib's env registry consumes takes one config
+    # dict (reference rllib/__init__.py:72-105).
+    cls = to_rllib_env(EmptyEnv, default_config={'size': 5, 'agents': 2})
+    assert len(inspect.signature(cls.__init__).parameters) == 2  # self, config
+    env2 = cls(None)
+    o, i = env2.reset(seed=1)
+    assert set(o) == {0, 1}
