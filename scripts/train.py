@@ -148,6 +148,7 @@ def train(args: argparse.Namespace) -> None:
 
     log_f = open(args.log_jsonl, 'a') if args.log_jsonl else None
     t_start = time.perf_counter()
+    t_last, steps_last = t_start, 0
     for update in range(int(state.update_count) // upc, num_updates):
         sync = (
             (update + 1) % args.log_interval == 0
@@ -168,12 +169,21 @@ def train(args: argparse.Namespace) -> None:
                 os.path.join(args.save_dir, f'step_{update + 1}'), state)
             print(f'checkpoint -> {path}')
         if (update + 1) % args.log_interval == 0 or update == num_updates - 1:
-            elapsed = time.perf_counter() - t_start
-            rate = (update + 1) * steps_per_update / elapsed
+            now = time.perf_counter()
+            steps_done = (update + 1) * steps_per_update
+            # Cumulative rate includes jit compilation (the first window);
+            # the window rate is the steady-state training throughput —
+            # what scripts/measure_train.py measures and PERFORMANCE.md
+            # reports (earlier rounds published only the cumulative figure,
+            # understating the production recipe's speed ~3x on short runs).
+            rate = steps_done / (now - t_start)
+            window_rate = (steps_done - steps_last) / max(now - t_last, 1e-9)
+            t_last, steps_last = now, steps_done
             row = {
                 'update': update + 1,
-                'agent_steps': (update + 1) * steps_per_update,
+                'agent_steps': steps_done,
                 'agent_steps_per_sec': round(rate),
+                'steps_per_sec_window': round(window_rate),
                 'reward_per_step': float(metrics['reward_per_step']),
                 'loss': float(metrics['loss']),
                 'entropy': float(metrics['entropy']),
