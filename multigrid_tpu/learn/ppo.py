@@ -350,8 +350,11 @@ def make_train_step(
             key, k_act = jax.random.split(key)
             action, log_prob, value = sample_policy(
                 state.params, prepped, obs, k_act)
+            # refresh=False: the reserve pool's launch-bound layout chain
+            # runs ONCE per rollout (refresh_pool(T) below), not per step.
             next_obs, env_state, reward, term, trunc, done, success = \
-                venv.step(env_state, action.astype(jnp.int32))
+                venv.step(env_state, action.astype(jnp.int32),
+                          refresh=not venv.reset_pool)
             # Exact episodic-return bookkeeping (all agents summed per
             # episode — RLlib's episode_reward_mean convention): accumulate
             # across update boundaries, bank on episode end. An episode
@@ -385,6 +388,10 @@ def make_train_step(
                  jnp.zeros((), jnp.int32)),
                 None, length=config.rollout_steps,
             )
+        if venv.reset_pool:
+            # The rollout's deferred pool-refresh debt: regenerate T steps'
+            # worth of reserve slots in one burst (same freshness contract).
+            env_state = venv.refresh_pool(env_state, config.rollout_steps)
         _, last_value = policy(state.params, last_obs)
         state = state.replace(
             env_state=env_state, last_obs=last_obs, key=key,

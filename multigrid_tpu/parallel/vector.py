@@ -221,20 +221,29 @@ class VectorEnv:
             state = state.replace(extras=extras)
         return state, pool
 
-    def _refresh_pool(self, pool: dict, new_state: MultiGridState):
-        """Regenerate a rotating slice of the reserve; bump the step counter.
+    def _refresh_pool(self, pool: dict, new_state: MultiGridState,
+                      chunk: int = 1):
+        """Regenerate a rotating slice of the reserve covering ``chunk``
+        steps' worth of slots.
 
         (A ``lax.cond``-gated "big slice every K steps" variant measured 3x
         SLOWER end-to-end on TPU — a conditional inside the rollout scan
-        wrecks buffer aliasing for the carried pool — so the refresh stays a
-        small unconditional per-step slice.)
+        wrecks buffer aliasing for the carried pool — so per-step refresh
+        stays unconditional. The *chunked* form instead moves the refresh
+        OUT of the step scan entirely: rollout loops call
+        :meth:`refresh_pool` once per chunk of ``refresh=False`` steps. The
+        win is not traffic but program latency — the procedural layout
+        chain (sequential placements with reductions between) is
+        launch-bound, measured ~0.4 ms/step on Playground at ANY slice
+        width, 57% of its step time.)
         """
         e = self.num_envs
         # ceil: the rotation must cover all slots within the period.
-        c = max(1, -(-e // self.reset_pool_period))
+        c = min(e, max(1, -(-e // self.reset_pool_period)) * chunk)
         n_slices = -(-e // c)
         g0 = pool[_GSTEP][0]
-        start = (g0 % n_slices) * c  # dynamic_slice clamps the tail slice
+        cursor = g0 if chunk == 1 else g0 // chunk
+        start = (cursor % n_slices) * c  # dynamic_slice clamps the tail
         keys = jax.random.wrap_key_data(
             jax.lax.dynamic_slice_in_dim(pool[_RKEY], start, c, 0))
         fresh_keys = jax.vmap(lambda k: jax.random.fold_in(k, g0))(keys)
@@ -244,12 +253,39 @@ class VectorEnv:
             lambda r, f: jax.lax.dynamic_update_slice_in_dim(r, f, start, 0),
             pool[_RESERVE], fresh,
         )
-        return {_RESERVE: reserve, _GSTEP: pool[_GSTEP] + 1,
+        return {_RESERVE: reserve, _GSTEP: pool[_GSTEP] + (1 if chunk == 1
+                                                           else 0),
                 _RKEY: pool[_RKEY]}
 
-    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
-    def step(self, state: MultiGridState, actions: jax.Array):
+    @functools.partial(jax.jit, static_argnums=(0, 2), donate_argnums=1)
+    def refresh_pool(self, state: MultiGridState, chunk: int):
+        """Regenerate ``chunk`` steps' worth of reserve slots in one burst.
+
+        Pair with ``step(..., refresh=False)``: a rollout loop that steps
+        ``chunk`` times without per-step regeneration and then calls this
+        once preserves the pool's freshness contract (every slot
+        regenerated within ``reset_pool_period`` steps, consumption offset
+        still advancing every step) while paying the launch-bound layout
+        chain once per chunk instead of once per step.
+        """
+        state, pool = self._strip_pool(state)
+        if not pool:
+            return state
+        pool = self._refresh_pool(pool, state, chunk=chunk)
+        return state.replace(extras={**state.extras, **pool})
+
+    @functools.partial(jax.jit, static_argnums=0,
+                       static_argnames=('refresh',), donate_argnums=1)
+    def step(self, state: MultiGridState, actions: jax.Array,
+             *, refresh: bool = True):
         """Step all envs; auto-reset finished episodes in-kernel.
+
+        ``refresh=False`` skips the per-step reserve-pool regeneration (the
+        consumption offset still advances); the caller then owes one
+        :meth:`refresh_pool` per chunk of such steps. Rollout loops
+        (``rollout_random``, the PPO train step) use this automatically —
+        the procedural layout chain is launch-bound, so batching it per
+        chunk instead of per step removed 57% of Playground's step time.
 
         Observation generation — the most expensive kernel — runs exactly
         once, on the post-auto-reset merged state: finished envs observe
@@ -321,7 +357,14 @@ class VectorEnv:
         obs = jax.vmap(self.env.attach_mission)(obs, obs_state)
         obs = jax.vmap(self.env.transform_obs)(obs, obs_state)
         if pool:
-            pool = self._refresh_pool(pool, new_state)
+            if refresh:
+                pool = self._refresh_pool(pool, new_state)
+            else:
+                # Consumption bookkeeping only: the offset must advance
+                # every step (an env's consecutive episode ends must land
+                # on different slots); regeneration is the caller's
+                # refresh_pool() debt.
+                pool = {**pool, _GSTEP: pool[_GSTEP] + 1}
             new_state = new_state.replace(
                 extras={**new_state.extras, **pool})
         return self._constrain(
@@ -395,6 +438,10 @@ class VectorEnv:
 
     # ------------------------------------------------------------ rollouts
 
+    #: Steps per chunked pool refresh in rollout loops (the launch-bound
+    #: layout chain runs once per chunk instead of once per step).
+    _REFRESH_CHUNK = 16
+
     @functools.partial(jax.jit, static_argnums=(0, 3), donate_argnums=1)
     def rollout_random(self, state: MultiGridState, key: jax.Array, steps: int):
         """Advance ``steps`` lockstep steps with uniform-random actions.
@@ -404,37 +451,58 @@ class VectorEnv:
         summary holds reward/done tallies plus an observation checksum — the
         checksum gives the obs kernel a live data dependency, so XLA cannot
         dead-code-eliminate observation generation out of the benchmark.
-        """
-        def body(carry, _):
-            st, k, rew_sum, done_sum, obs_sum = carry
-            k, ak = jax.random.split(k)
-            actions = jax.random.randint(
-                ak, (self.num_envs, self.num_agents), 0, NUM_ACTIONS,
-                dtype=jnp.int32,
-            )
-            obs, st, rew, _, _, done, _ = self.step(st, actions)
-            # The image is the expensive leaf — checksum it specifically so
-            # the obs kernel stays live (dict iteration order would otherwise
-            # pick 'direction', leaving the image dead code).
-            obs_leaf = obs['image'] if isinstance(obs, dict) and 'image' in obs \
-                else jax.tree.leaves(obs)[-1]
-            return (
-                st, k,
-                rew_sum + rew.sum(),
-                done_sum + done.sum(),
-                obs_sum + obs_leaf.sum(dtype=jnp.int32),
-            ), None
 
-        init = (
+        With a reserve pool, steps run in chunks of ``_REFRESH_CHUNK``
+        refresh-less steps followed by one chunked pool refresh (same
+        freshness contract; the launch-bound procedural layout chain runs
+        once per chunk instead of once per step — measured 57% of
+        Playground's per-step cost).
+        """
+        def body(refresh):
+            def _body(carry, _):
+                st, k, rew_sum, done_sum, obs_sum = carry
+                k, ak = jax.random.split(k)
+                actions = jax.random.randint(
+                    ak, (self.num_envs, self.num_agents), 0, NUM_ACTIONS,
+                    dtype=jnp.int32,
+                )
+                obs, st, rew, _, _, done, _suc = self.step(
+                    st, actions, refresh=refresh)
+                # The image is the expensive leaf — checksum it specifically
+                # so the obs kernel stays live (dict iteration order would
+                # otherwise pick 'direction', leaving the image dead code).
+                obs_leaf = obs['image'] \
+                    if isinstance(obs, dict) and 'image' in obs \
+                    else jax.tree.leaves(obs)[-1]
+                return (
+                    st, k,
+                    rew_sum + rew.sum(),
+                    done_sum + done.sum(),
+                    obs_sum + obs_leaf.sum(dtype=jnp.int32),
+                ), None
+            return _body
+
+        carry = (
             state,
             key,
             jnp.zeros((), jnp.float32),
             jnp.zeros((), jnp.int32),
             jnp.zeros((), jnp.int32),
         )
-        (state, _, rew_sum, done_sum, obs_sum), _ = jax.lax.scan(
-            body, init, None, length=steps
-        )
+        ck = self._REFRESH_CHUNK
+        rem = steps
+        if self.reset_pool and steps >= ck:
+            def chunk_body(carry, _):
+                carry, _ = jax.lax.scan(body(False), carry, None, length=ck)
+                st = self.refresh_pool(carry[0], ck)
+                return (st,) + carry[1:], None
+
+            carry, _ = jax.lax.scan(
+                chunk_body, carry, None, length=steps // ck)
+            rem = steps % ck
+        if rem:
+            carry, _ = jax.lax.scan(body(True), carry, None, length=rem)
+        (state, _, rew_sum, done_sum, obs_sum) = carry
         return state, {
             'reward_sum': rew_sum, 'episodes': done_sum, 'obs_sum': obs_sum,
         }

@@ -245,3 +245,45 @@ def test_ppo_trains_with_packed_obs():
     state, metrics = step(state)
     assert np.isfinite(float(metrics['loss']))
     assert int(state.update_count) == 1
+
+
+def test_reset_pool_chunked_refresh_no_replay():
+    """Chunked mode (step(refresh=False) x K + one refresh_pool(K)) keeps
+    the pool's freshness contract: the consumption offset still advances
+    every step (consecutive episode ends of one env land on different
+    slots) and every slot is regenerated within ~period steps."""
+    env = make('MultiGrid-BlockedUnlockPickup-v0', agents=2, max_steps=10)
+    venv = VectorEnv(env, 8, reset_pool_period=128)
+    _, state = venv.reset(jax.random.key(3))
+    layouts = [np.asarray(state.grid).copy()]
+    K = 10
+    for chunk in range(3):  # 3 consecutive 10-step episodes, chunked refresh
+        for t in range(K):
+            actions = jnp.full((8, 2), 6, dtype=jnp.int32)  # idle
+            _, state, *_, done, _suc = venv.step(
+                state, actions, refresh=False)
+        state = venv.refresh_pool(state, K)
+        assert bool(done.all())
+        layouts.append(np.asarray(state.grid).copy())
+    assert len(layouts) == 4
+    for a, b in zip(layouts, layouts[1:]):
+        per_env_equal = (a == b).all(axis=(1, 2, 3))
+        assert not per_env_equal.any(), (
+            f'layout replay in envs {np.where(per_env_equal)[0]}')
+
+
+def test_reset_pool_chunked_refresh_regenerates_slots():
+    """refresh_pool(K) actually rewrites K steps' worth of reserve slots."""
+    from multigrid_tpu.parallel.vector import _RESERVE
+    env = make('MultiGrid-RedBlueDoors-6x6-v0', agents=2)
+    venv = VectorEnv(env, 8, reset_pool_period=4)  # c=2 slots/step
+    _, state = venv.reset(jax.random.key(5))
+    before = np.asarray(state.extras[_RESERVE].grid)
+    # 4 steps of debt → one chunk-4 refresh regenerates ceil(8/4)*4 = 8 slots.
+    for t in range(4):
+        _, state, *_ = venv.step(
+            state, jnp.full((8, 2), 6, jnp.int32), refresh=False)
+    state = venv.refresh_pool(state, 4)
+    after = np.asarray(state.extras[_RESERVE].grid)
+    changed = (before != after).any(axis=(1, 2, 3))
+    assert changed.all(), f'unrefreshed slots: {np.where(~changed)[0]}'
