@@ -107,7 +107,7 @@ def main():
                         k, (venv.num_envs, venv.num_agents), 0, 7, jnp.int32)
                     ys = (obs['image'], obs['direction'], action)
                 obs2, env_state, reward, term, trunc, done, _ = venv.step(
-                    env_state, action)
+                    env_state, action, refresh=not venv.reset_pool)
                 if args.mode == 'rollout':
                     ys = ys + (reward, done[:, None] | term)
                 return (env_state, obs2, key, acc + reward.sum()), ys
@@ -116,6 +116,9 @@ def main():
                 body, (state.env_state, state.last_obs, state.key,
                        jnp.zeros(())),
                 None, length=steps)
+            if venv.reset_pool:
+                # Mirror the production rollout's chunked pool refresh.
+                env_state = venv.refresh_pool(env_state, steps)
             if ys is not None:
                 acc = acc + sum(jnp.sum(y).astype(jnp.float32) for y in
                                 jax.tree.leaves(ys))
@@ -219,7 +222,7 @@ def _train_roofline(args, venv, net, config, best_rate: float) -> dict:
         fwd = 2 * (o1 * o1 * 9 * 21 * 16 + o2 * o2 * 9 * 16 * 32
                    + o3 * o3 * 9 * 32 * 64          # the 3 convs
                    + (o3 * o3 * 64) * hid           # flatten → trunk Dense
-                   + hid * hid + hid * (acts + 1))
+                   + hid * (acts + 1))              # heads
     flops = samples * fwd * (1 + 3 * epochs) + e * n * fwd  # rollout + learner + last_value
 
     upd_s = samples / best_rate
