@@ -54,3 +54,22 @@ def test_weak_scaling_consistency():
     np.testing.assert_array_equal(np.asarray(o1['image']),
                                   np.asarray(o8['image']))
     np.testing.assert_array_equal(np.asarray(r1), np.asarray(r8))
+
+
+def test_sharded_train_step_with_reset_pool():
+    """Full PPO update over the mesh on a PROCEDURAL env: exercises the
+    chunked reserve-pool refresh (venv.refresh_pool after the rollout scan)
+    with pool state sharded over the env axis."""
+    mesh = make_mesh()
+    env = make('MultiGrid-BlockedUnlockPickup-v0', agents=2, max_steps=6)
+    venv = VectorEnv(env, 16, mesh=mesh)
+    assert venv.reset_pool
+    config = PPOConfig(rollout_steps=4)
+    state, net, config, tx = ppo_init(
+        venv, jax.random.key(0), config=config,
+        net_kwargs=dict(encoder='mlp', hidden=32))
+    train_step = make_train_step(venv, net, config, tx)
+    for _ in range(2):
+        state, metrics = train_step(state)
+    assert np.isfinite(float(metrics['loss']))
+    assert int(state.update_count) == 2
