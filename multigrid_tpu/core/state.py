@@ -90,18 +90,28 @@ def init_state(
     height: int,
     num_agents: int,
     rng: jax.Array,
+    has_boxes: bool = True,
 ) -> MultiGridState:
     """Create a blank state: empty grid, agents unplaced at (-1, -1), dir -1.
 
     Matches the reference's fresh ``AgentState`` defaults
     (multigrid/core/agent.py:234-254) and ``Grid`` init (core/grid.py:54-55).
+
+    ``has_boxes=False`` allocates a ZERO-sized ``box_contents`` side table:
+    environments whose layouts never contain a Box (Empty, RedBlueDoors,
+    LockedHallway — set via ``MultiGridEnv.uses_boxes``) otherwise pay a
+    full (W, H, 3) plane of dead HBM traffic in every step's masked writes,
+    every auto-reset select and every reserve-pool move (~half the
+    dynamics traffic at the flagship batch). The step kernel branches on
+    ``box_contents.size`` statically (ops/step.py).
     """
     empty = jnp.asarray(EMPTY_ENCODING, dtype=jnp.int32)
     grid = jnp.broadcast_to(empty, (width, height, 3))
     colors = (jnp.arange(num_agents, dtype=jnp.int32) % 6) + COLOR_RED
+    bc_shape = (width, height, 3) if has_boxes else (0, 0, 3)
     return MultiGridState(
         grid=grid,
-        box_contents=jnp.broadcast_to(empty, (width, height, 3)),
+        box_contents=jnp.broadcast_to(empty, bc_shape),
         agent_pos=jnp.full((num_agents, 2), -1, dtype=jnp.int32),
         agent_dir=jnp.full((num_agents,), -1, dtype=jnp.int32),
         agent_color=colors,
@@ -123,17 +133,21 @@ def state_from_numpy(
     box_contents: np.ndarray | None = None,
     agent_color: np.ndarray | None = None,
     extras: dict[str, Any] | None = None,
+    has_boxes: bool = True,
 ) -> MultiGridState:
     """Build a device state from host-side numpy layout arrays.
 
     Used by the parity-mode reset path, where procedural generation runs on
     the host with numpy RNG streams that bit-match the reference.
+    ``has_boxes=False`` (box-free environments) allocates the zero-sized
+    ``box_contents`` table — see :func:`init_state`.
     """
     grid = np.asarray(grid, dtype=np.int32)
     w, h, _ = grid.shape
     n = int(np.asarray(agent_dir).shape[0])
     if box_contents is None:
-        box_contents = np.broadcast_to(EMPTY_ENCODING, (w, h, 3))
+        bc_shape = (w, h, 3) if has_boxes else (0, 0, 3)
+        box_contents = np.broadcast_to(EMPTY_ENCODING, bc_shape)
     if agent_color is None:
         agent_color = np.arange(n, dtype=np.int32) % 6
     empty_n = np.broadcast_to(EMPTY_ENCODING, (n, 3))

@@ -26,6 +26,9 @@ class EmptyEnv(MultiGridEnv):
     """
 
     mission = "get to the green goal square"
+    #: No Box ever appears in these layouts — zero-sized box_contents
+    #: table (core/state.py init_state).
+    uses_boxes = False
 
     def __init__(
         self,
@@ -54,7 +57,8 @@ class EmptyEnv(MultiGridEnv):
 
     def _gen_grid(self, key: jax.Array) -> MultiGridState:
         cfg = self.cfg
-        state = init_state(cfg.width, cfg.height, cfg.num_agents, rng=key)
+        state = init_state(cfg.width, cfg.height, cfg.num_agents, rng=key,
+                           has_boxes=self.uses_boxes)
         state = state.replace(grid=jnp.asarray(self._layout))
 
         if self.agent_start_pos is not None and self.agent_start_dir is not None:

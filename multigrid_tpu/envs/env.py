@@ -43,6 +43,13 @@ class MultiGridEnv(abc.ABC):
     #: instead of regenerating every env's layout every step.
     procedural_reset: bool = False
 
+    #: Whether this environment's layouts can ever contain a Box. Box-free
+    #: environments (Empty, RedBlueDoors, LockedHallway) set this False so
+    #: their state carries a ZERO-sized ``box_contents`` table — the full
+    #: (W, H, 3) side table is otherwise dead HBM traffic in every step
+    #: and auto-reset select (core/state.py init_state, ops/step.py).
+    uses_boxes: bool = True
+
     def __init__(
         self,
         *,

@@ -38,6 +38,9 @@ class LockedHallwayEnv(RoomGrid):
     """
 
     mission = "unlock all the doors"
+    #: No Box ever appears in these layouts — zero-sized box_contents
+    #: table (core/state.py init_state).
+    uses_boxes = False
 
     def __init__(
         self,

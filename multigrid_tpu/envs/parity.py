@@ -108,7 +108,8 @@ class ParityRunner:
     def reset(self) -> dict[int, dict[str, Any]]:
         data = self.env._gen_grid_parity(self.G)
         self.state = state_from_numpy(
-            rng=jax.random.PRNGKey(self.seed), **data
+            rng=jax.random.PRNGKey(self.seed),
+            has_boxes=self.env.uses_boxes, **data
         )
         obs = jax.device_get(self.env.observe(self.state))
         return self._split_obs(obs)

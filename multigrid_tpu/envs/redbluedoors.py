@@ -37,6 +37,9 @@ class RedBlueDoorsEnv(MultiGridEnv):
 
     mission = "open the red door then the blue door"
     procedural_reset = True
+    #: No Box ever appears in these layouts — zero-sized box_contents
+    #: table (core/state.py init_state).
+    uses_boxes = False
 
     def __init__(
         self,
@@ -71,7 +74,8 @@ class RedBlueDoorsEnv(MultiGridEnv):
     def _gen_grid(self, key: jax.Array) -> MultiGridState:
         cfg = self.cfg
         k_agents, k_red, k_blue = jax.random.split(key, 3)
-        state = init_state(cfg.width, cfg.height, cfg.num_agents, rng=key)
+        state = init_state(cfg.width, cfg.height, cfg.num_agents, rng=key,
+                           has_boxes=self.uses_boxes)
         state = state.replace(grid=jnp.asarray(self._layout))
 
         # Agents inside the room, then the two doors at random wall heights

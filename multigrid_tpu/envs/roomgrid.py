@@ -282,7 +282,8 @@ class RoomGrid(MultiGridEnv):
         """Fresh state with the wall lattice and all agents at the middle
         room's center facing right (core/roomgrid.py:203-236)."""
         cfg = self.cfg
-        state = init_state(cfg.width, cfg.height, cfg.num_agents, rng=key)
+        state = init_state(cfg.width, cfg.height, cfg.num_agents, rng=key,
+                           has_boxes=self.uses_boxes)
         grid = jnp.asarray(self._base_grid if base_grid is None else base_grid)
         mid = jnp.asarray(self.geometry.middle_pos(), dtype=jnp.int32)
         return state.replace(

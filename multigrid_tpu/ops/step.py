@@ -256,7 +256,13 @@ def handle_actions(
         do_toggle_box = is_toggle & (ftype == TYPE_BOX)
 
         # --- compose the forward cell's new encoding -------------------------
-        box_cont = read_cell(st.box_contents)
+        # Box-free environments carry a zero-sized box_contents table
+        # (core/state.py init_state has_boxes=False): no Box can exist, so
+        # the contents read is the empty encoding and the plane is never
+        # touched — a static branch that removes ~half the dynamics HBM
+        # traffic for Empty/RedBlueDoors/LockedHallway.
+        has_boxes = st.box_contents.size > 0
+        box_cont = read_cell(st.box_contents) if has_boxes else empty
         cell = fwd_enc
         cell = jnp.where(do_pickup, empty, cell)
         cell = jnp.where(do_drop, carrying, cell)
@@ -290,7 +296,7 @@ def handle_actions(
         grid = jnp.where(write_mask, cell[None, None, :], st.grid)
         box_contents = jnp.where(
             write_mask, cont_cell[None, None, :], st.box_contents
-        )
+        ) if has_boxes else st.box_contents
 
         ohc = oh[:, None]
         st = st.replace(

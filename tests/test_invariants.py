@@ -44,11 +44,14 @@ def _counts(state):
     carried_box_t = np.asarray(state.agent_carrying_contents[..., 0])
 
     def tally(t):
+        # Box-free envs carry a zero-sized box_contents table (state.py).
+        hidden = ((box_t == t) & (grid_t == TYPE_BOX)).sum(axis=(1, 2)) \
+            if box_t.size else 0
         return (
             (grid_t == t).sum(axis=(1, 2))
             + (carried_t == t).sum(axis=1)
             # hidden contents count only where a box actually sits / is held
-            + ((box_t == t) & (grid_t == TYPE_BOX)).sum(axis=(1, 2))
+            + hidden
             + ((carried_box_t == t) & (carried_t == TYPE_BOX)).sum(axis=1)
         )
 
