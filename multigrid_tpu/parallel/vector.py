@@ -343,16 +343,30 @@ class VectorEnv:
                 d = done.reshape(done.shape + (1,) * (r.ndim - 1))
                 return jnp.where(d, r, s)
 
-            # When post_step is the base identity hook, step_core returned
-            # the SAME tracers for obs_state and new_state — one merged
-            # select serves both (saves a full-state select per step).
-            same = all(
+            # step_core returns the SAME tracers for obs_state and new_state
+            # on every leaf post_step left untouched — share the merged
+            # select per LEAF, so an env whose hook only flips door flags
+            # (LockedHallway) or termination bits (BUP) doesn't pay a second
+            # full-grid select each step (all-or-nothing sharing previously
+            # double-selected the whole state whenever ANY leaf differed).
+            shared = [
                 a is b for a, b in zip(
                     jax.tree.leaves(obs_state), jax.tree.leaves(new_state))
-            )
+            ]
             new_state = jax.tree.map(sel, reset_state, new_state)
-            obs_state = new_state if same else jax.tree.map(
-                sel, reset_state, obs_state)
+            if all(shared):
+                obs_state = new_state
+            else:
+                treedef = jax.tree.structure(obs_state)
+                merged = [
+                    ns if sh else sel(r, o)
+                    for sh, ns, r, o in zip(
+                        shared,
+                        jax.tree.leaves(new_state),
+                        jax.tree.leaves(reset_state),
+                        jax.tree.leaves(obs_state))
+                ]
+                obs_state = jax.tree.unflatten(treedef, merged)
         obs = self._gen_obs_batched(obs_state)
         obs = jax.vmap(self.env.attach_mission)(obs, obs_state)
         obs = jax.vmap(self.env.transform_obs)(obs, obs_state)
