@@ -26,18 +26,28 @@ def _is_key(x) -> bool:
         x.dtype, jax.dtypes.prng_key)
 
 
+#: Stand-in stored for zero-size leaves (orbax refuses to serialize them;
+#: box-free envs carry a (0, 0, 3) box_contents table). The restore target
+#: supplies the real zero-size array, so only a marker needs to round-trip.
+_EMPTY_SENTINEL = np.zeros((1,), np.int32)
+
+
 def save_checkpoint(path: str, state: Any) -> str:
     """Atomically save a pytree (TrainState or env state) to ``path``.
 
     Typed PRNG keys are stored as their raw key data (orbax/numpy cannot
-    serialize extended dtypes) and re-wrapped on restore.
+    serialize extended dtypes) and re-wrapped on restore; zero-size leaves
+    are stored as a sentinel and re-synthesized from the restore target.
     """
     path = os.path.abspath(path)
-    plain = jax.tree.map(
-        lambda x: np.asarray(jax.random.key_data(x)) if _is_key(x)
-        else np.asarray(x),
-        state,
-    )
+
+    def plain_leaf(x):
+        if _is_key(x):
+            return np.asarray(jax.random.key_data(x))
+        x = np.asarray(x)
+        return _EMPTY_SENTINEL if x.size == 0 else x
+
+    plain = jax.tree.map(plain_leaf, state)
     _checkpointer().save(path, plain, force=True)
     return path
 
@@ -48,10 +58,14 @@ def restore_checkpoint(path: str, target: Any) -> Any:
     ``target`` supplies the structure/dtypes (e.g. a freshly-initialized
     TrainState); restored leaves are placed like the target's.
     """
-    plain_target = jax.tree.map(
-        lambda x: np.asarray(jax.random.key_data(x)) if _is_key(x) else x,
-        target,
-    )
+    def plain_leaf(x):
+        if _is_key(x):
+            return np.asarray(jax.random.key_data(x))
+        if hasattr(x, 'size') and x.size == 0:
+            return _EMPTY_SENTINEL
+        return x
+
+    plain_target = jax.tree.map(plain_leaf, target)
     restored = _checkpointer().restore(
         os.path.abspath(path), item=plain_target)
 
@@ -62,6 +76,8 @@ def restore_checkpoint(path: str, target: Any) -> Any:
                 impl=jax.random.key_impl(t),
             )
         if hasattr(t, 'dtype'):
+            if t.size == 0:  # sentinel round-trip: keep the target's array
+                return t
             return jax.device_put(jax.numpy.asarray(r)).astype(t.dtype)
         return r
 
