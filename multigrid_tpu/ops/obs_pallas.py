@@ -142,20 +142,26 @@ def _rotation_mat(vs: int, k: int, dtype) -> jax.Array:
 
 
 def _obs_kernel(
-    meta_ref,      # (4N, B) int32: [sx; sy; dir; carry_packed]
-    g_ref,         # (wp*hp, B) int32 packed padded grid
+    meta_ref,      # (5N, B) int32: [sx; sy mod stride; dir; carry; top_y]
+    g_ref,         # (plane_rows*stride, B) int32 packed x-padded grid
     o_ref,         # (N*vs*vs, B) int32 packed obs
     *,
     num_agents: int,
     vs: int,
-    wp: int,
-    hp: int,
+    w: int,
+    h: int,
     see_through_walls: bool,
 ):
     n = num_agents
-    stride = (hp + 7) // 8 * 8
-    nbits_x = _nbits(wp - 2 * vs, vs)
-    nbits_y = _nbits(hp - 2 * vs, vs)
+    stride = _row_stride(h, vs)
+    nbits_x = _nbits(w, vs)
+    # The y-crop shift is the CLAMPED top_y ∈ [0, h-1] (no y-wall padding
+    # in the plane): windows that cross y = h wrap cyclically into the
+    # neighbouring column's rows, and windows with top_y < 0 are cropped
+    # from 0 then realigned by a small roll — in both cases every
+    # wrong-source window cell corresponds to a world y outside [0, h) and
+    # is wall-masked below from the raw top_y.
+    nbits_y = max(1, (h - 1).bit_length())
     v2 = vs * vs
     mid = (vs // 2) * vs + (vs - 1)  # flat index of the agent's own view cell
 
@@ -184,8 +190,11 @@ def _obs_kernel(
     slabs = [crop_chain(a) for a in range(n)]
 
     # --- y-chain: one stacked chain for all agents --------------------------
-    # Kept columns [0, vs) of each hp-row pull only from within the same row
-    # for shifts < hp, so rolling the agent-stacked slab is safe.
+    # Shifts are the clamped top_y ∈ [0, h-1]; kept columns [0, vs) of a
+    # stride-row may pull PAST the row's end (window crossing y = h), which
+    # reads the neighbouring column's rows — every such cell is a world
+    # y ≥ h and is wall-masked after window extraction, so the cyclic
+    # stacked roll stays safe without y-padding in the plane.
     stack = jnp.concatenate(slabs) if n > 1 else slabs[0]  # (N*vs*stride, B)
     sy_rows = jnp.concatenate([
         jnp.broadcast_to(meta_ref[n + a, :].reshape(1, -1),
@@ -214,6 +223,18 @@ def _obs_kernel(
                   a * vs * stride + u * stride + vs]
             for u in range(vs)
         ])  # (vs², B) packed, world orientation
+        # Realign windows with top_y < 0 (cropped from row 0 instead): roll
+        # down by d = -top_y so cell (u, j) holds world y = top_y + j; the
+        # d contaminated leading rows (and any y ≥ h wrap-reads from the
+        # crop) are exactly the out-of-bounds cells — mask them to wall.
+        ty = meta_ref[4 * n + a, :].reshape(1, -1)
+        d = jnp.maximum(-ty, 0)
+        for k in (2, 1, 0):  # d ≤ vs - 1 < 8
+            bit = ((d >> k) & 1) != 0
+            win = jnp.where(bit, pltpu.roll(win, 1 << k, axis=0), win)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (v2, 1), 0) % vs
+        wy = ty + jj
+        win = jnp.where((wy < 0) | (wy >= h), _WALL_PACKED, win)
         hi = (win >> 8).astype(jnp.bfloat16)
         lo = (win & 255).astype(jnp.bfloat16)
         rot = ((meta_ref[2 * n + a, :] + 1) % 4).reshape(1, -1)
@@ -316,31 +337,44 @@ def _obs_kernel(
 
 
 def _row_stride(h: int, vs: int) -> int:
-    """Padded row stride: hp rounded up to a sublane tile (8) so the kernel's
-    x-chain rolls are whole-tile moves instead of lane-crossing shuffles."""
-    hp = h + 2 * vs
-    return (hp + 7) // 8 * 8
+    """Row stride: the REAL grid height rounded up to a sublane tile (8).
+
+    Round 4 removed the per-column ±vs y-wall padding (the old stride was
+    ``h + 2*vs`` rounded): y-crops now run as CYCLIC rolls mod the stride
+    and out-of-bounds window cells are masked to wall afterward from the
+    raw ``top_y`` (wrap-reads land on y ≥ h or cross into the neighbouring
+    column's cells — but any wrapped read corresponds to a world y outside
+    [0, h), so the bounds mask always covers it). This shrinks the padded
+    plane ~2x on 16-row grids (stride 32 → 16), cutting both the plane's
+    HBM traffic and the x-chain's per-pass work, which scales with stride.
+    The stride must still cover a full view window (the per-column window
+    slice takes ``vs`` rows), so views taller than the grid keep a
+    vs-sized stride.
+    """
+    return max((h + 7) // 8 * 8, (vs + 7) // 8 * 8)
 
 
 def _pad_packed(plane_t: jax.Array, w: int, h: int, vs: int) -> jax.Array:
-    """(w*h, E) packed cell-major plane → (wp*stride, E) wall-padded plane.
+    """(w*h, E) packed cell-major plane → (plane_rows*stride, E) x-padded
+    plane.
 
-    Static concatenation only (no scatters): wall slabs around and between
-    the grid's row-blocks; extra stride columns are wall (never selected —
-    the y-shift keeps sy + vs - 1 < hp).
+    Static concatenation only (no scatters). Columns carry NO y-wall
+    padding (see :func:`_row_stride` — y out-of-bounds is handled by the
+    kernel's post-crop mask); the x axis keeps ``vs`` wall stride-groups on
+    each side (x-crops read them directly, exactly like the old layout)
+    plus the trailing wall groups the x-chain's top-bit slice needs.
     """
     e = plane_t.shape[-1]
     stride = _row_stride(h, vs)
-    wallrow = jnp.full((vs * stride, e), _WALL_PACKED, dtype=plane_t.dtype)
-    pad_pre = jnp.full((vs, e), _WALL_PACKED, dtype=plane_t.dtype)
-    pad_post = jnp.full(
-        (stride - h - vs, e), _WALL_PACKED, dtype=plane_t.dtype)
-    pieces = [wallrow]
-    for x in range(w):
-        pieces.append(pad_pre)
-        pieces.append(plane_t[x * h:(x + 1) * h])
-        pieces.append(pad_post)
-    pieces.append(wallrow)
+    body = plane_t.reshape(w, h, e)
+    if stride != h:
+        body = jnp.concatenate([
+            body,
+            jnp.full((w, stride - h, e), _WALL_PACKED, plane_t.dtype),
+        ], axis=1)
+    body = body.reshape(w * stride, e)
+    wall_x = jnp.full((vs * stride, e), _WALL_PACKED, dtype=plane_t.dtype)
+    pieces = [wall_x, body, wall_x]
     tail = _plane_rows(w, vs) - (w + 2 * vs)
     if tail:
         # Trailing wall rows keep the kernel's top-bit x-slice in bounds.
@@ -373,7 +407,6 @@ def gen_obs_batched_pallas(
     vs = view_size
     e, w, h, _ = state.grid.shape
     n = state.agent_dir.shape[-1]
-    wp, hp = w + 2 * vs, h + 2 * vs
     v2 = vs * vs
 
     # ---- XLA prologue: pack cells, overlay agents, go cell-major. ----------
@@ -406,10 +439,11 @@ def gen_obs_batched_pallas(
     )
     meta = jnp.concatenate([
         (top_x + vs).astype(jnp.int32).T,            # (N, E)
-        (top_y + vs).astype(jnp.int32).T,
+        jnp.maximum(top_y, 0).astype(jnp.int32).T,   # clamped y-crop shift
         state.agent_dir.astype(jnp.int32).T,
         carry_packed.T,
-    ])  # (4N, E)
+        top_y.astype(jnp.int32).T,                   # raw, for the y mask
+    ])  # (5N, E)
 
     # ---- kernel ------------------------------------------------------------
     block = min(pick_block(w, h, vs), e)
@@ -420,13 +454,13 @@ def gen_obs_batched_pallas(
         '(use VectorEnv, which falls back to the XLA path)')
     kernel = functools.partial(
         _obs_kernel,
-        num_agents=n, vs=vs, wp=wp, hp=hp,
+        num_agents=n, vs=vs, w=w, h=h,
         see_through_walls=see_through_walls,
     )
     grid_spec = pl.GridSpec(
         grid=(e // block,),
         in_specs=[
-            pl.BlockSpec((4 * n, block), lambda i: (0, i),
+            pl.BlockSpec((5 * n, block), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_plane_rows(w, vs) * stride, block),
                          lambda i: (0, i),
