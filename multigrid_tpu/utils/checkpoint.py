@@ -76,8 +76,26 @@ def restore_checkpoint(path: str, target: Any) -> Any:
                 impl=jax.random.key_impl(t),
             )
         if hasattr(t, 'dtype'):
-            if t.size == 0:  # sentinel round-trip: keep the target's array
+            r_arr = np.asarray(r)
+            if t.size == 0:
+                # Sentinel round-trip: keep the target's zero-size array.
+                # A restored leaf with real data here means the checkpoint
+                # was written under a different env config (e.g. a
+                # uses_boxes=True env restored into a box-free one).
+                if r_arr.size > 1:
+                    raise ValueError(
+                        f'checkpoint/env-config mismatch: stored leaf has '
+                        f'shape {r_arr.shape} but the restore target expects '
+                        f'a zero-size array (shape {t.shape}); the '
+                        f'checkpoint was likely written under a different '
+                        f'environment configuration')
                 return t
+            if r_arr.shape != t.shape:
+                raise ValueError(
+                    f'checkpoint/env-config mismatch: stored leaf has shape '
+                    f'{r_arr.shape} but the restore target expects '
+                    f'{t.shape}; the checkpoint was likely written under a '
+                    f'different environment configuration')
             return jax.device_put(jax.numpy.asarray(r)).astype(t.dtype)
         return r
 
