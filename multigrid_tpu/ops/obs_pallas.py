@@ -58,22 +58,53 @@ _MAX_BLOCK = 512
 #: Playground); v5e accommodates 64 MB for this kernel's stack comfortably.
 _VMEM_LIMIT = 64 * 1024 * 1024
 
-#: VMEM working-set reference: a 1520-sublane padded plane at 512 lanes
-#: (19x19 grid + the slice-select x-chain's trailing wall pad, view 7)
-#: allocates a ~22.6 MB kernel stack — validated against the raised limit on
-#: v5e with ~3x headroom; the stack scales ~linearly in plane_sublanes ×
-#: lanes, so still-larger grids trade lanes for sublanes. (Set too low this
-#: silently halves the lane block: Playground at 256 lanes measured ~8%
-#: slower end-to-end.)
-_VMEM_REF = 1520 * 512
+#: Allocator slack on top of the structural working-set model below: Mosaic
+#: double-buffers grid-step inputs/outputs and does not aggressively reuse
+#: dead intermediates. Calibrated on v5e by compiling the kernel across a
+#: grid-size sweep (scripts/probe_vmem.py) and validated against the
+#: measured stacks of the shipped configs.
+_VMEM_SLACK = 2.0
 
 
-def pick_block(w: int, h: int, vs: int) -> int:
+def working_set_bytes(w: int, h: int, vs: int, n: int, block: int) -> int:
+    """Structural VMEM working-set estimate for one kernel invocation.
+
+    Derived from the kernel's live buffers (all int32, per lane-block of
+    ``block`` lanes), not hand-calibrated per grid:
+
+    * stage 1 (crop chains, agents sequential): the padded plane, the
+      largest pass output (the top bit's shrunk slab), and the finished
+      agents' slabs;
+    * stage 2 (stacked y-chain): stack + broadcast shift rows + rolled copy
+      + select output, all ``n·vs·stride`` rows;
+    * stage 3/4 (rotation, flood fill) and the output: ``n·vs²`` rows plus
+      change — dominated by the earlier stages on every realistic shape.
+
+    A single measured allocator-slack factor (:data:`_VMEM_SLACK`) covers
+    Mosaic's double buffering; scripts/probe_vmem.py re-validates it by
+    compiling across the size envelope on hardware.
+    """
+    stride = _row_stride(h, vs)
+    plane = _plane_rows(w, vs) * stride
+    keep1 = min(_plane_rows(w, vs),
+                (1 << (_nbits(w, vs) - 1)) - 1 + vs) * stride
+    slab = vs * stride
+    stage1 = plane + keep1 + (n - 1) * slab
+    stage2 = 4 * n * slab
+    rows = max(stage1, stage2) + n * vs * vs
+    return int(4 * block * rows * _VMEM_SLACK)
+
+
+def pick_block(w: int, h: int, vs: int, n: int = 8) -> int:
     """Lane-block width for a given grid: largest power-of-two ≤ 512 whose
-    padded-plane working set stays inside scoped VMEM."""
-    sublanes = _plane_rows(w, vs) * _row_stride(h, vs)
+    working set (:func:`working_set_bytes`) stays inside scoped VMEM.
+
+    ``n`` defaults to the Pallas path's maximum team size (VectorEnv gates
+    ``num_agents > 8`` onto the XLA path), so the default is conservative;
+    callers that know the real team size pass it for full blocks on big
+    grids."""
     block = _MAX_BLOCK
-    while block > 128 and sublanes * block > _VMEM_REF:
+    while block > 128 and working_set_bytes(w, h, vs, n, block) > _VMEM_LIMIT:
         block //= 2
     return block
 
@@ -102,10 +133,11 @@ _WALL_PACKED = (
 )
 
 
-def supports_batch(e: int, w: int = 16, h: int = 16, vs: int = 7) -> bool:
+def supports_batch(e: int, w: int = 16, h: int = 16, vs: int = 7,
+                   n: int = 8) -> bool:
     """Whether an env batch of size ``e`` tiles into the kernel's lane
     blocks: whole 128-lane tiles, and a whole number of blocks."""
-    block = min(pick_block(w, h, vs), e)
+    block = min(pick_block(w, h, vs, n), e)
     return e % 128 == 0 and e % block == 0
 
 
@@ -229,7 +261,10 @@ def _obs_kernel(
         # crop) are exactly the out-of-bounds cells — mask them to wall.
         ty = meta_ref[4 * n + a, :].reshape(1, -1)
         d = jnp.maximum(-ty, 0)
-        for k in (2, 1, 0):  # d ≤ vs - 1 < 8
+        # d = -top_y ≤ vs - 1 (get_view_exts: top_y ≥ y - vs + 1, y ≥ 0), so
+        # the chain needs (vs - 1).bit_length() passes — a fixed 3-bit chain
+        # would silently corrupt view_size ≥ 11 (d up to 10).
+        for k in reversed(range(max(1, (vs - 1).bit_length()))):
             bit = ((d >> k) & 1) != 0
             win = jnp.where(bit, pltpu.roll(win, 1 << k, axis=0), win)
         jj = jax.lax.broadcasted_iota(jnp.int32, (v2, 1), 0) % vs
@@ -446,10 +481,10 @@ def gen_obs_batched_pallas(
     ])  # (5N, E)
 
     # ---- kernel ------------------------------------------------------------
-    block = min(pick_block(w, h, vs), e)
+    block = min(pick_block(w, h, vs, n), e)
     # Compiled mode needs whole 128-lane tiles; the interpreter handles any
     # batch (used by the CPU equality tests).
-    assert interpret or supports_batch(e, w, h, vs), (
+    assert interpret or supports_batch(e, w, h, vs, n), (
         f'env batch {e} does not tile into {block}-lane kernel blocks '
         '(use VectorEnv, which falls back to the XLA path)')
     kernel = functools.partial(
