@@ -92,6 +92,13 @@ class VectorEnv:
             # exact every-step reset.
             reset_pool = bool(getattr(env, 'procedural_reset', False))
         self.reset_pool = reset_pool and auto_reset
+        # Pool bit-packing needs every field to fit its 4-bit lane
+        # (extensible enums can outgrow them — fall back to raw storage).
+        from ..core.constants import Color as _Color
+        from ..core.constants import State as _State
+        from ..core.constants import Type as _Type
+        self._pool_packed = (
+            len(_Color) <= 16 and len(_State) <= 16 and len(_Type) <= 16)
         if reset_pool_period is None:
             # Longest refresh period with zero layout replay for episodes of
             # at least ``period`` steps (every reserve slot is regenerated
@@ -110,7 +117,7 @@ class VectorEnv:
             # make the unrolled kernel a Mosaic compile bomb, and the packed
             # cell encoding carries 4 color bits — the XLA path handles both.
             from ..core.constants import Color
-            from ..ops.obs_pallas import supports_batch
+            from ..ops.obs_pallas import pick_block, supports_batch
             shards = mesh.devices.size if mesh is not None else 1
             gates = {
                 'backend is not TPU':
@@ -122,7 +129,7 @@ class VectorEnv:
                     num_envs % shards == 0
                     and not supports_batch(
                         num_envs // shards, env.width, env.height,
-                        env.cfg.view_size),
+                        env.cfg.view_size, env.num_agents),
                 f'num_agents={env.num_agents} > 8': env.num_agents > 8,
                 f'{len(Color)} colors > 16': len(Color) > 16,
             }
@@ -138,6 +145,26 @@ class VectorEnv:
                     stacklevel=2,
                 )
         self.use_pallas_obs = use_pallas_obs
+        if self.use_pallas_obs:
+            # Lane-block downgrades are legal but never silent: a shrunk
+            # block costs ~8% end-to-end (measured, Playground at 256), so
+            # say so whenever the working-set model pushes a grid below the
+            # full 512 lanes.
+            from ..ops.obs_pallas import _MAX_BLOCK, pick_block
+            block = pick_block(env.width, env.height, env.cfg.view_size,
+                               env.num_agents)
+            per_shard = num_envs // (
+                mesh.devices.size if mesh is not None else 1)
+            if block < min(_MAX_BLOCK, per_shard):
+                import warnings
+                warnings.warn(
+                    f'VectorEnv: obs-kernel lane block downgraded to {block} '
+                    f'for grid {env.width}x{env.height} (view '
+                    f'{env.cfg.view_size}, {env.num_agents} agents) — the '
+                    f'VMEM working set exceeds the scoped limit at 512 '
+                    f'lanes; expect ~8% lower step throughput',
+                    stacklevel=2,
+                )
 
     @classmethod
     def sharded(cls, env: MultiGridEnv, num_envs: int, **kwargs) -> 'VectorEnv':
@@ -171,6 +198,48 @@ class VectorEnv:
 
     # -------------------------------------------------- amortized reset pool
     #
+    # Pool storage format: the reserve's grid (and box_contents) leaves are
+    # bit-packed into ONE flat int32 plane (t<<8|c<<4|s, box contents in
+    # bits 12-23). The pool's per-step moves — the rotating-offset roll and
+    # the consumption select's reserve read — stream 3-6x fewer bytes than
+    # the raw (E, W, H, 3) triples; the unpack is elementwise and fuses
+    # into the select (measured: Playground's reserve roll+select was the
+    # largest auto-reset cost after the chunked refresh).
+
+    def _pool_pack(self, s: MultiGridState) -> MultiGridState:
+        """Pack grid (+ box_contents) into one flat int32 leaf."""
+        if not self._pool_packed:
+            return s
+        g = s.grid
+        p = (g[..., 0] << 8) | (g[..., 1] << 4) | g[..., 2]
+        p = p.reshape(p.shape[:-2] + (-1,))
+        if s.box_contents.size:
+            b = s.box_contents
+            bp = (b[..., 0] << 8) | (b[..., 1] << 4) | b[..., 2]
+            p = p | (bp.reshape(p.shape) << 12)
+            s = s.replace(box_contents=jnp.zeros(
+                b.shape[:-3] + (0, 0, 3), jnp.int32))
+        return s.replace(grid=p)
+
+    def _pool_unpack(self, s: MultiGridState,
+                     like: MultiGridState) -> MultiGridState:
+        """Inverse of :meth:`_pool_pack`; ``like`` supplies the raw shapes."""
+        if not self._pool_packed:
+            return s
+        p = s.grid
+        w, h = like.grid.shape[-3], like.grid.shape[-2]
+        g12 = p & 0xFFF
+        grid = jnp.stack([g12 >> 8, (g12 >> 4) & 15, g12 & 15], axis=-1)
+        grid = grid.reshape(p.shape[:-1] + (w, h, 3))
+        s = s.replace(grid=grid)
+        if like.box_contents.size:
+            b12 = (p >> 12) & 0xFFF
+            bc = jnp.stack([b12 >> 8, (b12 >> 4) & 15, b12 & 15], axis=-1)
+            s = s.replace(
+                box_contents=bc.reshape(p.shape[:-1] + (w, h, 3)))
+        return s
+
+    #
     # Procedural layout generation (RoomGrid's connect_all + sequential
     # placements) dominates the step when recomputed for every env every
     # step. The pool amortizes it: each env carries a pregenerated "next
@@ -196,8 +265,8 @@ class VectorEnv:
     def _attach_pool(self, state: MultiGridState, key: jax.Array):
         """Generate the initial reserve and stash pool state in extras."""
         k_res, k_stream = jax.random.split(key)
-        reserve = jax.vmap(self.env.reset_core)(
-            jax.random.split(k_res, self.num_envs))
+        reserve = self._pool_pack(jax.vmap(self.env.reset_core)(
+            jax.random.split(k_res, self.num_envs)))
         # Store key material as raw uint32 so pool leaves support
         # dynamic_update_slice during refresh.
         reserve = reserve.replace(rng=jax.random.key_data(reserve.rng))
@@ -247,7 +316,7 @@ class VectorEnv:
         keys = jax.random.wrap_key_data(
             jax.lax.dynamic_slice_in_dim(pool[_RKEY], start, c, 0))
         fresh_keys = jax.vmap(lambda k: jax.random.fold_in(k, g0))(keys)
-        fresh = jax.vmap(self.env.reset_core)(fresh_keys)
+        fresh = self._pool_pack(jax.vmap(self.env.reset_core)(fresh_keys))
         fresh = fresh.replace(rng=jax.random.key_data(fresh.rng))
         reserve = jax.tree.map(
             lambda r, f: jax.lax.dynamic_update_slice_in_dim(r, f, start, 0),
@@ -330,6 +399,9 @@ class VectorEnv:
                 offset = pool[_GSTEP][0] % self.num_envs
                 reserve = jax.tree.map(
                     lambda r: jnp.roll(r, -offset, axis=0), pool[_RESERVE])
+                # Unpack the pool's bit-packed grid plane; elementwise, so
+                # it fuses into the consumption select below.
+                reserve = self._pool_unpack(reserve, new_state)
                 reset_state = reserve.replace(rng=folded)
             else:
                 # Exact path: one fixed-cost reset computed for every env

@@ -285,5 +285,7 @@ def test_reset_pool_chunked_refresh_regenerates_slots():
             state, jnp.full((8, 2), 6, jnp.int32), refresh=False)
     state = venv.refresh_pool(state, 4)
     after = np.asarray(state.extras[_RESERVE].grid)
-    changed = (before != after).any(axis=(1, 2, 3))
+    # The pool stores its grid bit-packed (one flat int32 plane per env) —
+    # compare per-slot regardless of the storage layout.
+    changed = (before != after).reshape(before.shape[0], -1).any(axis=1)
     assert changed.all(), f'unrefreshed slots: {np.where(~changed)[0]}'
