@@ -97,6 +97,10 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument('--env-id', default='MultiGrid-Empty-16x16-v0')
     parser.add_argument('--agents', type=int, default=4)
+    parser.add_argument('--env-config', type=json.loads, default={},
+                        help='JSON dict of env constructor overrides '
+                             '(e.g. \'{"size": 32}\' — operating-envelope '
+                             'benches beyond the registered configs)')
     parser.add_argument('--num-envs', type=int, default=4096)
     parser.add_argument('--steps', type=int, default=256)
     parser.add_argument('--repeats', type=int, default=3)
@@ -111,7 +115,7 @@ def main() -> None:
     from multigrid_tpu.envs import make
     from multigrid_tpu.parallel import VectorEnv, make_mesh
 
-    env = make(args.env_id, agents=args.agents)
+    env = make(args.env_id, agents=args.agents, **args.env_config)
     mesh = make_mesh() if args.mesh else None
     venv = VectorEnv(env, args.num_envs, mesh=mesh)
 

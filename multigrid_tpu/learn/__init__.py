@@ -8,17 +8,19 @@ only cross-chip collective, inserted by XLA), and the policy's dense layers
 may additionally shard over ``'model'``.
 """
 
-from .nets import ActorCritic
+from .nets import ActorCritic, CentralizedCritic
 from .ppo import (
     PPOConfig,
     Rollout,
     TrainState,
+    make_centralized_critic,
     make_train_loop,
     make_train_step,
     ppo_init,
 )
 
 __all__ = [
-    'ActorCritic', 'PPOConfig', 'Rollout', 'TrainState', 'make_train_loop',
-    'make_train_step', 'ppo_init',
+    'ActorCritic', 'CentralizedCritic', 'PPOConfig', 'Rollout', 'TrainState',
+    'make_centralized_critic', 'make_train_loop', 'make_train_step',
+    'ppo_init',
 ]

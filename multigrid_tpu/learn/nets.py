@@ -167,3 +167,55 @@ class ActorCritic(nn.Module):
             self.num_actions, dtype=self.dtype)(x).astype(jnp.float32)
         value = nn.Dense(1, dtype=self.dtype)(x).astype(jnp.float32)
         return logits, value.squeeze(-1)
+
+
+class CentralizedCritic(nn.Module):
+    """Joint-observation value function for MAPPO-style training.
+
+    Conditions on ALL agents' observations and directions at once (the
+    actors stay partial): V(o_1..o_N) instead of per-agent V(o_i). This is
+    the fix for the independent-PPO failure mode on coordination chains
+    (BlockedUnlockPickup with per-agent policies: independently normalized
+    advantages under a joint reward de-correlate the agents' credit —
+    docs/LEARNING.md) — a capability the reference example does not have
+    (its ``policy_{i}`` modules are fully independent,
+    multigrid/scripts/train.py:154-158).
+
+    Inputs are one env's joint observation; batching is the caller's
+    leading-axes concern (the module is written elementwise over the
+    trailing (N, cells) axes).
+    """
+
+    hidden: int = 128
+    dtype: jnp.dtype = jnp.bfloat16
+    num_missions: int = 0
+    packed_obs: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        images: jax.Array,
+        directions: jax.Array,
+        mission: jax.Array | None = None,
+    ) -> jax.Array:
+        """images: (..., N, vs·vs) packed or (..., N, vs, vs, 3) triples;
+        directions: (..., N); mission: (..., N) episode mission indices
+        (identical across agents — agent 0's is used). Returns (...,)."""
+        x = one_hot_image(images, self.dtype, packed=self.packed_obs)
+        lead = 3 if self.packed_obs else 4  # (N, cells[, vs], channels)
+        x = x.reshape(x.shape[:-lead] + (-1,))
+        theta = directions.astype(self.dtype) * (jnp.pi / 2)
+        dirf = jnp.stack([jnp.cos(theta), jnp.sin(theta)], axis=-1)
+        dirf = dirf.reshape(dirf.shape[:-2] + (-1,))  # (..., 2N)
+        if self.num_missions > 0 and mission is not None:
+            dirf = jnp.concatenate([
+                dirf,
+                jax.nn.one_hot(mission[..., 0], self.num_missions,
+                               dtype=self.dtype),
+            ], axis=-1)
+        h = nn.Dense(self.hidden, dtype=self.dtype)(x)
+        d = nn.Dense(self.hidden, use_bias=False, dtype=self.dtype)(dirf)
+        x = nn.relu(h + d)
+        x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype)(x))
+        value = nn.Dense(1, dtype=self.dtype)(x).astype(jnp.float32)
+        return value.squeeze(-1)

@@ -29,7 +29,14 @@ import optax
 from flax import struct
 
 from ..parallel.vector import VectorEnv
-from .nets import ActorCritic
+from .nets import ActorCritic, CentralizedCritic
+
+
+def make_centralized_critic(net: ActorCritic) -> CentralizedCritic:
+    """The joint-observation critic matched to an actor net's attributes."""
+    return CentralizedCritic(
+        hidden=net.hidden, dtype=net.dtype,
+        num_missions=net.num_missions, packed_obs=net.packed_obs)
 
 #: Test hook: route the fused Pallas paths (rollout first layer + PPO loss
 #: kernel) through the Pallas interpreter so CPU tests can exercise the
@@ -56,6 +63,12 @@ class PPOConfig:
     minibatches: int = struct.field(pytree_node=False, default=1)
     #: Independent parameters per agent (the reference's policy_{i}).
     per_agent_policies: bool = struct.field(pytree_node=False, default=False)
+    #: MAPPO-style centralized critic: the value function conditions on ALL
+    #: agents' observations (actors stay partial). The remedy for
+    #: independent-PPO's failure on coordination chains under a joint
+    #: reward (per-agent BUP, docs/LEARNING.md) — beyond the reference's
+    #: capability (its policy_{i} modules are fully independent).
+    centralized_critic: bool = struct.field(pytree_node=False, default=False)
 
 
 @struct.dataclass
@@ -132,6 +145,7 @@ def ppo_init(
     config: PPOConfig | None = None,
     per_agent_policies: bool | None = None,
     net_kwargs: dict | None = None,
+    lr_schedule=None,
 ):
     """Initialize (train_state, net, config, optimizer).
 
@@ -187,7 +201,25 @@ def ppo_init(
             k_net, obs['image'][0, 0], obs['direction'][0, 0], mission0
         )
         clip = optax.clip_by_global_norm(config.max_grad_norm)
-    tx = optax.chain(clip, optax.adam(config.lr))
+    if config.centralized_critic:
+        # The critic module is reconstructed deterministically from the
+        # actor net's attributes here and in make_train_step (flax modules
+        # are stateless definitions).
+        critic = make_centralized_critic(net)
+        cparams = critic.init(
+            jax.random.fold_in(k_net, 1), obs['image'][0],
+            obs['direction'][0], obs['mission'][0] if 'mission' in obs
+            else None)
+        params = {'actor': params, 'critic': cparams}
+        clip = optax.multi_transform(
+            {'actor': clip, 'critic': optax.clip_by_global_norm(
+                config.max_grad_norm)},
+            lambda p: {
+                'actor': jax.tree.map(lambda _: 'actor', p['actor']),
+                'critic': jax.tree.map(lambda _: 'critic', p['critic']),
+            })
+    tx = optax.chain(clip, optax.adam(
+        config.lr if lr_schedule is None else lr_schedule))
     state = TrainState(
         params=params,
         opt_state=tx.init(params),
@@ -217,6 +249,17 @@ def make_train_step(
     """
     if per_agent_policies is not None:
         config = config.replace(per_agent_policies=per_agent_policies)
+
+    centralized = config.centralized_critic
+    critic = make_centralized_critic(net) if centralized else None
+
+    def actor_params(params):
+        return params['actor'] if centralized else params
+
+    def central_value(params, image, direction, mission):
+        """(..., N) broadcast of the joint-observation value V(o_1..o_N)."""
+        v = critic.apply(params['critic'], image, direction, mission)
+        return jnp.broadcast_to(v[..., None], direction.shape)
 
     if config.per_agent_policies:
         # The image's agent axis depends on the obs format: packed images
@@ -268,14 +311,18 @@ def make_train_step(
 
     def policy(params, obs):
         # obs arrays are (E, N, ...): flatten agents into the batch.
+        ap = actor_params(params)
         if fused_rollout and not config.per_agent_policies:
             logits, value = net.apply(
-                params, obs['image'], obs['direction'], obs.get('mission'),
+                ap, obs['image'], obs['direction'], obs.get('mission'),
                 fused=fused_mode)
         else:
             logits, value = apply_net(
-                params, obs['image'], obs['direction'], obs.get('mission'),
+                ap, obs['image'], obs['direction'], obs.get('mission'),
                 fused=fused_mode if fused_rollout else False)
+        if centralized:
+            value = central_value(
+                params, obs['image'], obs['direction'], obs.get('mission'))
         return logits, value
 
     # Rollout sampling fully fused: one Pallas kernel from packed cells to
@@ -295,6 +342,7 @@ def make_train_step(
     fully_fused = (
         fused_rollout
         and not config.per_agent_policies
+        and not centralized  # the kernel computes the actor's own value head
         and (FUSED_INTERPRET or os.environ.get('MULTIGRID_FUSED_POLICY'))
         and _policy_kernel_ok(
             venv.num_envs * venv.num_agents, net.hidden, net.num_actions)
@@ -422,6 +470,7 @@ def make_train_step(
         return advantages, advantages + traj.value
 
     def loss_fn(params, traj: Rollout, advantages, targets):
+        ap = actor_params(params)
         _b = int(np.prod(traj.direction.shape))
         if config.per_agent_policies:
             _b //= traj.direction.shape[-1]
@@ -434,10 +483,15 @@ def make_train_step(
             # 13.2M — the recompute re-runs the Pallas kernel serially with
             # the backward instead of trading FLOPs for saved traffic.)
             logits, value = apply_net(
-                params, traj.image, traj.direction, traj.mission,
+                ap, traj.image, traj.direction, traj.mission,
                 fused=fused_mode)
         else:
             logits, value = apply_net(
+                ap, traj.image, traj.direction, traj.mission)
+        if centralized:
+            # Joint-observation value broadcast to every agent; the actor
+            # net's own value head receives zero gradient and goes unused.
+            value = central_value(
                 params, traj.image, traj.direction, traj.mission)
         log_probs = jax.nn.log_softmax(logits)
         log_prob = _select_log_prob(logits, traj.action)
@@ -530,11 +584,15 @@ def make_train_step(
         n = traj.direction.shape[-1]
         b = int(np.prod(traj.direction.shape))
         _missions_ok = net.num_missions == 0 or traj.mission is not None
+        # The fused PPO loss kernel computes the actor's own value head, so
+        # the centralized critic routes through the XLA loss (jax.grad).
         if (fused_rollout and config.per_agent_policies and _missions_ok
+                and not centralized
                 and _loss_kernel_ok(b // n, net.hidden, net.num_actions)):
             return _sgd_step_kernel_per_agent(
                 params, opt_state, traj, advantages, targets)
         if fused_rollout and not config.per_agent_policies \
+                and not centralized \
                 and _loss_kernel_ok(
                     b, net.hidden, net.num_actions) and _missions_ok:
             # The whole loss forward+backward as ONE Pallas kernel

@@ -65,6 +65,23 @@ def parse_args() -> argparse.Namespace:
     p.add_argument('--per-agent-policies', action='store_true',
                    help='independent parameters per agent (the reference '
                         "example's policy_{i}); default is shared self-play")
+    p.add_argument('--critic', default='local',
+                   choices=['local', 'centralized'],
+                   help="'centralized' = MAPPO-style joint-observation "
+                        'value function (actors stay partial) — fixes '
+                        'independent-PPO on coordination chains under a '
+                        'joint reward (per-agent BUP, docs/LEARNING.md)')
+    p.add_argument('--lr-anneal', action='store_true',
+                   help='linearly decay lr to 0 over --num-timesteps')
+    p.add_argument('--ent-anneal', action='store_true',
+                   help='linearly decay the entropy bonus to 0 over '
+                        '--num-timesteps (late-training exploitation — '
+                        'closes oscillating task-completion curves)')
+    p.add_argument('--save-best', default=None, metavar='METRIC',
+                   help="additionally keep the best checkpoint by this "
+                        "logged metric (e.g. 'success_rate'): evaluated at "
+                        'every log point over the window, saved to '
+                        '<save-dir>/best when it improves')
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--save-dir', default='checkpoints',
                    help='checkpoint directory (saved every --save-interval '
@@ -110,13 +127,23 @@ def train(args: argparse.Namespace) -> None:
         ent_coef=args.ent_coef, epochs=args.epochs,
         minibatches=args.minibatches,
         per_agent_policies=args.per_agent_policies,
+        centralized_critic=args.critic == 'centralized',
     )
+    lr_schedule = None
+    if args.lr_anneal:
+        # Continuous linear decay to 0 — an optax schedule costs nothing
+        # per update (it lives in the optimizer, outside the fused kernels).
+        total_updates = max(1, args.num_timesteps // (
+            args.num_envs * args.num_agents * args.rollout_steps))
+        import optax
+        lr_schedule = optax.linear_schedule(args.lr, 0.0, total_updates)
     # The net is constructed inside ppo_init so num_missions auto-sizes from
     # the env's mission space (BlockedUnlockPickup etc. condition on the
     # mission index) and the obs format matches the VectorEnv.
     state, net, config, tx = ppo_init(
         venv, jax.random.key(args.seed), config=config,
-        net_kwargs=dict(hidden=args.hidden, encoder=args.encoder))
+        net_kwargs=dict(hidden=args.hidden, encoder=args.encoder),
+        lr_schedule=lr_schedule)
 
     if args.load_dir:
         ckpt = latest_checkpoint(args.load_dir)
@@ -133,13 +160,32 @@ def train(args: argparse.Namespace) -> None:
             print(f'resumed from {ckpt} (update {int(state.update_count)})')
 
     upc = max(1, args.updates_per_call)
-    if upc > 1:
-        train_step = make_train_loop(venv, net, config, tx, upc)
-    else:
-        train_step = make_train_step(venv, net, config, tx)
+
+    def build_step(cfg):
+        if upc > 1:
+            return make_train_loop(venv, net, cfg, tx, upc)
+        return make_train_step(venv, net, cfg, tx)
+
     steps_per_update = (
         args.num_envs * args.num_agents * config.rollout_steps * upc)
     num_updates = max(1, args.num_timesteps // steps_per_update)
+
+    # Entropy anneal runs stage-wise (4 linear-decay stages): ent_coef is a
+    # static parameter of the fused PPO loss kernel, so a per-update
+    # schedule would recompile every update — 4 recompiles total is the
+    # TPU-friendly form of the late-training exploitation anneal.
+    ENT_STAGES = 4
+
+    def stage_config(update):
+        if not args.ent_anneal:
+            return config
+        stage = min(update * ENT_STAGES // max(num_updates, 1),
+                    ENT_STAGES - 1)
+        return config.replace(
+            ent_coef=args.ent_coef * (1.0 - stage / ENT_STAGES))
+
+    train_step = build_step(stage_config(0))
+    current_ent = stage_config(0).ent_coef
     timer = PhaseTimer()
 
     print(f'training {args.env}: {args.num_agents} agents x '
@@ -149,7 +195,13 @@ def train(args: argparse.Namespace) -> None:
     log_f = open(args.log_jsonl, 'a') if args.log_jsonl else None
     t_start = time.perf_counter()
     t_last, steps_last = t_start, 0
+    best_val = None
     for update in range(int(state.update_count) // upc, num_updates):
+        cfg = stage_config(update)
+        if cfg.ent_coef != current_ent:
+            current_ent = cfg.ent_coef
+            train_step = build_step(cfg)
+            print(f'ent-anneal stage: ent_coef -> {current_ent:g}')
         sync = (
             (update + 1) % args.log_interval == 0
             or (update + 1) % args.save_interval == 0
@@ -195,6 +247,16 @@ def train(args: argparse.Namespace) -> None:
             if log_f:
                 log_f.write(json.dumps(row) + '\n')
                 log_f.flush()
+            if args.save_best:
+                val = row.get(args.save_best)
+                # NaN-safe improvement test (success_rate is NaN on windows
+                # with no completed episodes).
+                if val is not None and val == val and (
+                        best_val is None or val > best_val):
+                    best_val = val
+                    path = save_checkpoint(
+                        os.path.join(args.save_dir, 'best'), state)
+                    print(f'best {args.save_best}={val:.4f} -> {path}')
     if log_f:
         log_f.close()
     print('timing:', json.dumps(timer.summary()))

@@ -37,6 +37,13 @@ def parse_args() -> argparse.Namespace:
     p.add_argument('--encoder', default='cnn', choices=['cnn', 'mlp'])
     p.add_argument('--per-agent-policies', action='store_true',
                    help='must match the flag the checkpoint was trained with')
+    p.add_argument('--critic', default='local',
+                   choices=['local', 'centralized'],
+                   help='must match the training run (affects the '
+                        'checkpoint parameter structure)')
+    p.add_argument('--checkpoint', default=None,
+                   help='explicit checkpoint path (e.g. <save-dir>/best) '
+                        'instead of the latest step_* under --load-dir')
     p.add_argument('--gif', default=None, help='output GIF path')
     p.add_argument('--tile-size', type=int, default=32)
     p.add_argument('--platform', default=None, choices=['cpu', 'tpu'],
@@ -56,12 +63,13 @@ def visualize(args: argparse.Namespace) -> list[np.ndarray]:
     env = make(args.env, agents=args.num_agents)
 
     policy = None
-    if args.load_dir:
+    if args.load_dir or args.checkpoint:
         from multigrid_tpu.learn import PPOConfig, ppo_init
         from multigrid_tpu.parallel import VectorEnv
         from multigrid_tpu.utils.checkpoint import (
             latest_checkpoint, restore_checkpoint)
-        config = PPOConfig(per_agent_policies=args.per_agent_policies)
+        config = PPOConfig(per_agent_policies=args.per_agent_policies,
+                           centralized_critic=args.critic == 'centralized')
         # Build the net through ppo_init so num_missions auto-sizes from the
         # env's mission space, exactly as scripts/train.py did — restoring a
         # mission-conditioned checkpoint then just works. The single-env
@@ -70,17 +78,19 @@ def visualize(args: argparse.Namespace) -> list[np.ndarray]:
         tmp_state, net, _, _ = ppo_init(
             VectorEnv(env, 1), jax.random.key(0), config=config,
             net_kwargs=dict(hidden=args.hidden, encoder=args.encoder))
-        ckpt = latest_checkpoint(args.load_dir)
+        ckpt = args.checkpoint or latest_checkpoint(args.load_dir)
         assert ckpt, f'no checkpoint under {args.load_dir}'
         try:
             params = restore_checkpoint(ckpt, tmp_state).params
         except Exception as exc:
             raise SystemExit(
                 f'failed to restore {ckpt}: {exc}\n'
-                'Hint: --per-agent-policies, --hidden, --encoder and '
-                '--num-agents must match the training run (mission '
+                'Hint: --per-agent-policies, --critic, --hidden, --encoder '
+                'and --num-agents must match the training run (mission '
                 'conditioning and obs format are sized automatically).'
             ) from exc
+        if config.centralized_critic:
+            params = params['actor']  # rollouts only need the actors
         print(f'loaded policy from {ckpt}')
 
         @jax.jit

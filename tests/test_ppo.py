@@ -101,3 +101,50 @@ def test_minibatched_mission_env():
     state, metrics = train_step(state)
     assert np.isfinite(float(metrics['loss']))
     assert int(state.update_count) == 1
+
+
+def test_centralized_critic():
+    """MAPPO-style centralized critic (PPOConfig.centralized_critic): the
+    value function conditions on ALL agents' observations while the actors
+    stay partial — the named fix for independent-PPO's failure on
+    coordination chains under a joint reward (docs/LEARNING.md; beyond the
+    reference's fully-independent policy_{i} scheme). Both actor-parameter
+    schemes train through it, and BOTH actor and critic parameters move."""
+    for per_agent in (False, True):
+        venv = VectorEnv(
+            make('MultiGrid-BlockedUnlockPickup-v0', agents=2, max_steps=8),
+            4, packed_obs=True)
+        config = PPOConfig(rollout_steps=4, per_agent_policies=per_agent,
+                           centralized_critic=True)
+        state, net, config, tx = ppo_init(
+            venv, jax.random.key(7), config=config,
+            net_kwargs=dict(encoder='mlp', hidden=32))
+        assert set(state.params) == {'actor', 'critic'}
+        train_step = make_train_step(venv, net, config, tx)
+        before_a = jax.tree.leaves(state.params['actor'])[0].copy()
+        before_c = jax.tree.leaves(state.params['critic'])[0].copy()
+        state, metrics = train_step(state)
+        assert np.isfinite(float(metrics['loss'])), per_agent
+        assert not np.allclose(
+            np.asarray(before_a),
+            np.asarray(jax.tree.leaves(state.params['actor'])[0]))
+        assert not np.allclose(
+            np.asarray(before_c),
+            np.asarray(jax.tree.leaves(state.params['critic'])[0]))
+
+
+def test_centralized_critic_value_is_joint():
+    """The centralized value is one joint-observation scalar broadcast to
+    every agent (same value per agent), unlike the local critic's
+    per-agent values."""
+    from multigrid_tpu.learn import make_centralized_critic
+    venv = VectorEnv(make('MultiGrid-Empty-5x5-v0', agents=3), 4,
+                     packed_obs=True)
+    config = PPOConfig(rollout_steps=2, centralized_critic=True)
+    state, net, config, tx = ppo_init(
+        venv, jax.random.key(8), config=config,
+        net_kwargs=dict(encoder='mlp', hidden=16))
+    critic = make_centralized_critic(net)
+    obs = state.last_obs
+    v = critic.apply(state.params['critic'], obs['image'], obs['direction'])
+    assert v.shape == (4,)  # one value per env, not per agent
