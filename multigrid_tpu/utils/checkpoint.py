@@ -102,6 +102,34 @@ def restore_checkpoint(path: str, target: Any) -> Any:
     return jax.tree.map(place, target, restored)
 
 
+def restore_params(path: str, target_params: Any) -> Any:
+    """Restore ONLY the model parameters from a TrainState checkpoint.
+
+    Evaluation/visualization need the params, not the optimizer state —
+    and the opt_state pytree structure depends on training-time optimizer
+    config (``--lr-anneal`` wraps adam in a schedule, adding a state leaf),
+    so a whole-TrainState restore would force eval-side flags to mirror
+    irrelevant training flags. Reads the checkpoint without a target,
+    extracts the ``params`` subtree, and places it against
+    ``target_params`` (shape-checked like :func:`restore_checkpoint`).
+    """
+    raw = _checkpointer().restore(os.path.abspath(path))
+    if not isinstance(raw, dict) or 'params' not in raw:
+        raise ValueError(
+            f'{path} does not look like a TrainState checkpoint '
+            f'(top-level keys: {list(raw) if isinstance(raw, dict) else raw})')
+
+    def place(t, r):
+        r_arr = np.asarray(r)
+        if r_arr.shape != t.shape:
+            raise ValueError(
+                f'checkpoint/model mismatch: stored parameter has shape '
+                f'{r_arr.shape} but the target expects {t.shape}')
+        return jax.device_put(jax.numpy.asarray(r)).astype(t.dtype)
+
+    return jax.tree.map(place, target_params, raw['params'])
+
+
 def latest_checkpoint(directory: str) -> str | None:
     """Most recent ``step_*`` checkpoint under ``directory``, or None."""
     if not os.path.isdir(directory):

@@ -62,7 +62,7 @@ def evaluate(args: argparse.Namespace) -> dict:
     from multigrid_tpu.learn import PPOConfig, ppo_init
     from multigrid_tpu.parallel import VectorEnv
     from multigrid_tpu.utils.checkpoint import (
-        latest_checkpoint, restore_checkpoint)
+        latest_checkpoint, restore_params)
 
     env = make(args.env, agents=args.num_agents, **args.env_config)
     venv = VectorEnv(env, args.num_envs, packed_obs=True)
@@ -76,14 +76,15 @@ def evaluate(args: argparse.Namespace) -> dict:
         latest_checkpoint(args.load_dir) if args.load_dir else None)
     assert ckpt, 'pass --checkpoint or --load-dir'
     try:
-        restored = restore_checkpoint(ckpt, tmp_state)
+        # Params-only restore: optimizer state and env batch are training
+        # concerns, so eval flags need not mirror --lr-anneal/--num-envs.
+        params = restore_params(ckpt, tmp_state.params)
     except Exception as exc:
         raise SystemExit(
             f'failed to restore {ckpt}: {exc}\n'
-            'Hint: --per-agent-policies, --critic, --hidden, --encoder, '
-            '--num-agents and --num-envs must match the training run.'
+            'Hint: --per-agent-policies, --critic, --hidden, --encoder '
+            'and --num-agents must match the training run.'
         ) from exc
-    params = restored.params
     aparams = params['actor'] if config.centralized_critic else params
     print(f'loaded policy from {ckpt}')
 

@@ -67,7 +67,7 @@ def visualize(args: argparse.Namespace) -> list[np.ndarray]:
         from multigrid_tpu.learn import PPOConfig, ppo_init
         from multigrid_tpu.parallel import VectorEnv
         from multigrid_tpu.utils.checkpoint import (
-            latest_checkpoint, restore_checkpoint)
+            latest_checkpoint, restore_params)
         config = PPOConfig(per_agent_policies=args.per_agent_policies,
                            centralized_critic=args.critic == 'centralized')
         # Build the net through ppo_init so num_missions auto-sizes from the
@@ -81,7 +81,10 @@ def visualize(args: argparse.Namespace) -> list[np.ndarray]:
         ckpt = args.checkpoint or latest_checkpoint(args.load_dir)
         assert ckpt, f'no checkpoint under {args.load_dir}'
         try:
-            params = restore_checkpoint(ckpt, tmp_state).params
+            # Params-only restore: tolerant of training-side optimizer
+            # config (--lr-anneal changes the opt_state structure) and
+            # --num-envs, neither of which matters for a rollout.
+            params = restore_params(ckpt, tmp_state.params)
         except Exception as exc:
             raise SystemExit(
                 f'failed to restore {ckpt}: {exc}\n'

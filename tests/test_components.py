@@ -113,6 +113,40 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
 
 
+def test_restore_params_across_optimizer_configs(tmp_path):
+    """restore_params reads only the params subtree of a TrainState
+    checkpoint — a checkpoint trained with --lr-anneal (schedule wraps
+    adam, different opt_state pytree) must restore into an eval-side init
+    built with a constant lr, and shape mismatches must fail loudly."""
+    import optax
+    import pytest
+    from multigrid_tpu.learn import PPOConfig, ppo_init
+    from multigrid_tpu.utils.checkpoint import restore_params, save_checkpoint
+    venv = VectorEnv(make('MultiGrid-Empty-5x5-v0', agents=2), 4,
+                     packed_obs=True)
+    state, net, config, tx = ppo_init(
+        venv, jax.random.key(0), config=PPOConfig(rollout_steps=2),
+        net_kwargs=dict(encoder='mlp', hidden=16),
+        lr_schedule=optax.linear_schedule(3e-4, 0.0, 10))
+    path = save_checkpoint(os.path.join(tmp_path, 'step_1'), state)
+
+    # Eval-side init: constant lr → different opt_state structure.
+    fresh, _, _, _ = ppo_init(
+        venv, jax.random.key(1), config=PPOConfig(rollout_steps=2),
+        net_kwargs=dict(encoder='mlp', hidden=16))
+    params = restore_params(path, fresh.params)
+    for got, want in zip(jax.tree.leaves(params),
+                         jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # Wrong architecture fails loudly, not with silent garbage.
+    wrong, _, _, _ = ppo_init(
+        venv, jax.random.key(1), config=PPOConfig(rollout_steps=2),
+        net_kwargs=dict(encoder='mlp', hidden=32))
+    with pytest.raises(ValueError, match='mismatch'):
+        restore_params(path, wrong.params)
+
+
 def test_render_frame():
     from multigrid_tpu.render import render_state
     env = make('MultiGrid-RedBlueDoors-6x6-v0', agents=2)

@@ -93,6 +93,52 @@ def test_visualize_cli_mismatch_hint(empty_run, tmp_path):
     assert 'must match' in err and '--encoder' in err
 
 
+def test_train_cli_mappo_save_best_anneal_evaluate(tmp_path):
+    """The round-5 training surface end-to-end: --critic centralized
+    (MAPPO joint-observation value function), --per-agent-policies,
+    --save-best success_rate (argmax checkpoint at <save-dir>/best),
+    --ent-anneal/--lr-anneal, then scripts/evaluate.py restoring the best
+    checkpoint and reporting the exact task-completion rate."""
+    ckpt = tmp_path / 'ckpts'
+    jsonl = tmp_path / 'curve.jsonl'
+    res = _run([
+        TRAIN, '--platform', 'cpu',
+        '--env', 'MultiGrid-Empty-5x5-v0', '--num-agents', '2',
+        '--env-config', '{"max_steps": 4}',  # every rollout completes episodes
+        '--num-envs', '4', '--rollout-steps', '4', '--num-timesteps', '128',
+        '--encoder', 'mlp', '--hidden', '32',
+        '--per-agent-policies', '--critic', 'centralized',
+        '--ent-anneal', '--lr-anneal', '--save-best', 'success_rate',
+        '--save-dir', str(ckpt), '--save-interval', '2',
+        '--log-interval', '1', '--log-jsonl', str(jsonl),
+    ])
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert 'ent-anneal stage' in res.stdout  # at least one stage boundary
+    rows = [json.loads(l) for l in jsonl.read_text().splitlines()]
+    assert len(rows) == 4
+    # max_steps=4 truncates every episode inside each rollout window, so
+    # success_rate is finite at every log point and the best checkpoint
+    # must exist (the first finite value always improves on None).
+    assert os.path.isdir(ckpt / 'best'), res.stdout
+    assert 'best success_rate=' in res.stdout
+
+    evaluate = os.path.join(REPO, 'scripts', 'evaluate.py')
+    res = _run([
+        evaluate, '--platform', 'cpu',
+        '--env', 'MultiGrid-Empty-5x5-v0', '--num-agents', '2',
+        '--env-config', '{"max_steps": 4}',
+        '--encoder', 'mlp', '--hidden', '32',
+        '--per-agent-policies', '--critic', 'centralized',
+        '--checkpoint', str(ckpt / 'best'),
+        '--num-envs', '4', '--num-steps', '2048',
+    ])
+    assert res.returncode == 0, res.stderr[-2000:]
+    out = json.loads(res.stdout.splitlines()[-1])
+    assert out['episodes'] > 0
+    assert 0.0 <= out['success_rate_exact'] <= 1.0
+    assert out['agent_steps'] >= 2048
+
+
 def test_mission_conditioned_cli_roundtrip(tmp_path):
     """Train 1 update on BlockedUnlockPickup (num_missions auto-sized from
     the env — reference missions are per-episode strings,
