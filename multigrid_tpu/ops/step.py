@@ -116,6 +116,12 @@ def apply_failure(
     return jnp.where(fire, term_on, terminated)
 
 
+#: Agent-count threshold between the unrolled sub-step form (XLA fuses the
+#: one-hot reads/writes across sub-steps) and the ``lax.scan`` form (bounded
+#: program size for large teams). Both forms are bit-identical.
+UNROLL_MAX_AGENTS = 8
+
+
 def handle_actions(
     cfg: EnvConfig,
     state: MultiGridState,
@@ -317,9 +323,10 @@ def handle_actions(
 
     # Unrolled over the (small, static) agent count: unrolling lets XLA fuse
     # the one-hot reads/writes across sub-steps instead of paying a
-    # device-loop iteration per agent (~2× at N=4). Past ~8 agents the
-    # unrolled graph blows up compile time, so large teams scan.
-    if n <= 8:
+    # device-loop iteration per agent (~2× at N=4). Past UNROLL_MAX_AGENTS
+    # the unrolled graph blows up compile time, so large teams scan (the
+    # two forms are bit-identical — tests/test_invariants.py pins it).
+    if n <= UNROLL_MAX_AGENTS:
         carry = (state, rewards)
         for t in range(n):
             carry, _ = substep(carry, order[t])

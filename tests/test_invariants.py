@@ -122,3 +122,38 @@ def test_no_agent_overlap_mode():
         for e in range(8):
             cells = {tuple(p) for p in pos[e]}
             assert len(cells) == 4, (e, pos[e])
+
+
+def test_scan_substep_path_matches_unroll():
+    """The N>UNROLL_MAX_AGENTS lax.scan sub-step form is bit-identical to
+    the unrolled form on the same trajectories (the operating-envelope
+    guarantee for large teams: reference accepts any agent count by
+    construction, base.py:85-153). Runs a 12-agent team through both forms
+    by patching the threshold."""
+    from multigrid_tpu.ops import step as step_mod
+
+    def run(key):
+        env = make('MultiGrid-Empty-Random-6x6-v0', agents=12, size=16)
+        venv = VectorEnv(env, 4, auto_reset=False)
+        _, state = venv.reset(key)
+        rng = np.random.default_rng(11)
+        grids, rews = [], []
+        for _ in range(40):
+            actions = jnp.asarray(rng.integers(0, 7, size=(4, 12)), jnp.int32)
+            _, state, rew, *_ = venv.step(state, actions)
+            grids.append(np.asarray(state.grid))
+            rews.append(np.asarray(rew))
+        return np.stack(grids), np.stack(rews), np.asarray(state.agent_pos)
+
+    key = jax.random.key(3)
+    orig = step_mod.UNROLL_MAX_AGENTS
+    try:
+        step_mod.UNROLL_MAX_AGENTS = 64  # force the unrolled form at N=12
+        g_unroll, r_unroll, p_unroll = run(key)
+    finally:
+        step_mod.UNROLL_MAX_AGENTS = orig
+    assert orig < 12  # default routes N=12 through the scan form
+    g_scan, r_scan, p_scan = run(key)
+    np.testing.assert_array_equal(g_scan, g_unroll)
+    np.testing.assert_array_equal(r_scan, r_unroll)
+    np.testing.assert_array_equal(p_scan, p_unroll)
