@@ -82,6 +82,12 @@ def parse_args() -> argparse.Namespace:
                         "logged metric (e.g. 'success_rate'): evaluated at "
                         'every log point over the window, saved to '
                         '<save-dir>/best when it improves')
+    p.add_argument('--save-best-min-episodes', type=int, default=256,
+                   help='ignore log windows that completed fewer episodes '
+                        'than this when comparing --save-best metrics (a '
+                        'near-empty early window can fluke success_rate=1.0 '
+                        'on 1-2 random completions and poison the best '
+                        'checkpoint for the whole run)')
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--save-dir', default='checkpoints',
                    help='checkpoint directory (saved every --save-interval '
@@ -249,6 +255,13 @@ def train(args: argparse.Namespace) -> None:
                 log_f.flush()
             if args.save_best:
                 val = row.get(args.save_best)
+                # Episode-rate metrics are meaningless on near-empty windows
+                # (1-2 random completions can fluke success_rate=1.0 and
+                # poison the best checkpoint for the rest of the run).
+                if args.save_best in ('success_rate', 'episode_reward') and \
+                        row.get('episodes_in_batch', 0) < \
+                        args.save_best_min_episodes:
+                    val = None
                 # NaN-safe improvement test (success_rate is NaN on windows
                 # with no completed episodes).
                 if val is not None and val == val and (

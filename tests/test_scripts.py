@@ -109,6 +109,7 @@ def test_train_cli_mappo_save_best_anneal_evaluate(tmp_path):
         '--encoder', 'mlp', '--hidden', '32',
         '--per-agent-policies', '--critic', 'centralized',
         '--ent-anneal', '--lr-anneal', '--save-best', 'success_rate',
+        '--save-best-min-episodes', '1',  # tiny run: ~8 episodes/window
         '--save-dir', str(ckpt), '--save-interval', '2',
         '--log-interval', '1', '--log-jsonl', str(jsonl),
     ])
